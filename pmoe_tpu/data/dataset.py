@@ -1,0 +1,221 @@
+"""CARLA episode datasets (reference /root/reference/PMoE/model/data_loader.py).
+
+On-disk layout (data_loader.py:62-80,175-196):
+``root/<episode_dir>/{rgb,mask,measurements}/`` with sorted ``.png``/``.json``.
+
+Split of work, TPU-style:
+* host (this module): PNG decode (cv2), top/bottom crop, resize to 224x224,
+  measurement JSON parsing — cheap uint8 ops producing fixed-shape numpy
+  batches;
+* device (pmoe_tpu.ops.augment): the curriculum photometric augmentation runs
+  INSIDE the jitted train step on the batched uint8 tensors — replacing the
+  reference's per-worker imgaug chain, the stage-2 throughput bottleneck
+  (SURVEY §3.2).
+
+Measurement preprocessing matches data_loader.py:216-243: speed/target_speed
+divided by ``speed_factor``, one-hot command from ``command - 1``, and
+pedal = -brake if brake > 0.05 else throttle.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterator, List, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+__all__ = ["CarlaSeg", "CarlaSegPred", "imread", "crop_resize",
+           "preprocess_measurements", "BatchLoader"]
+
+
+def imread(address: str) -> np.ndarray:
+    """BGR->RGB aware PNG read (reference data_loader.py:24-28)."""
+    img = cv2.imread(str(address), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(address)
+    if img.ndim == 3:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img
+
+
+def crop_resize(img: np.ndarray, crop: Sequence[int] = (125, 90),
+                resize: Sequence[int] = (224, 224),
+                interpolation: int = cv2.INTER_LINEAR) -> np.ndarray:
+    """Crop ``crop[0]`` rows from the top and ``crop[1]`` from the bottom, then
+    resize to (H, W)=``resize``. Bilinear for BOTH rgb and masks, matching the
+    reference's PIL transforms (augmenter.py:43-53 Crop + transforms.Resize)."""
+    top, bottom = int(crop[0]), int(crop[1])
+    img = img[top: img.shape[0] - bottom]
+    return cv2.resize(img, (int(resize[1]), int(resize[0])),
+                      interpolation=interpolation)
+
+
+def preprocess_measurements(m: dict, speed_factor: float = 10.0,
+                            n_commands: int = 4) -> dict:
+    """reference data_loader.py:216-243."""
+    steer = float(m["steer"])
+    brake = float(m["brake"])
+    throttle = float(m["throttle"])
+    pedal = -brake if brake > 0.05 else throttle
+    command = np.zeros(n_commands, dtype=np.float32)
+    command[int(m["command"]) - 1] = 1.0
+    return {
+        "control": np.array([steer, pedal], dtype=np.float32),
+        "speed": np.float32(m["speed"] / speed_factor),
+        "target_speed": np.float32(m["target_speed"] / speed_factor),
+        "command": command,
+    }
+
+
+def _episode_dirs(root: str | Path) -> List[Path]:
+    root = Path(root).resolve()
+    return sorted([x for x in root.iterdir() if x.is_dir()])
+
+
+def _sorted_files(d: Path, suffix: str) -> List[str]:
+    return sorted(str(x) for x in d.iterdir() if x.suffix == suffix)
+
+
+class CarlaSeg:
+    """(rgb, mask) pairs for stage-0 segmentation (reference data_loader.py:45-129).
+
+    Returns uint8 images (H, W, 3) and int32 masks (H, W); normalization to
+    [0, 1] and augmentation happen on device.
+    """
+
+    def __init__(self, root: str = "data/train", aug_type: str = "segmentation",
+                 mode: str = "train", seed: int = 0,
+                 crop: Sequence[int] = (125, 90),
+                 resize: Sequence[int] = (224, 224)):
+        if mode.lower() not in ("train", "val"):
+            raise ValueError("Unknown parameter for mode, it should be 'train' or 'val'")
+        self.mode = mode.lower()
+        self.aug_type = aug_type
+        self.crop, self.resize = tuple(crop), tuple(resize)
+        dirs = _episode_dirs(root)
+        self.img_address = sorted(
+            f for d in dirs for f in _sorted_files(d / "rgb", ".png"))
+        self.mask_address = sorted(
+            f for d in dirs for f in _sorted_files(d / "mask", ".png"))
+        rng = np.random.default_rng(seed)
+        self.indices = rng.permutation(len(self.img_address))
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        i = self.indices[index]
+        img = crop_resize(imread(self.img_address[i]), self.crop, self.resize)
+        mask = crop_resize(imread(self.mask_address[i]), self.crop, self.resize)
+        return img.astype(np.uint8), mask.astype(np.int32)
+
+
+class CarlaSegPred:
+    """Sliding windows of 4 past RGB frames + either future masks (stage 1) or
+    the measurement dict at t=past (stage 2) (reference data_loader.py:132-308)."""
+
+    def __init__(self, root: str = "data/train", past_frames: int = 4,
+                 future_frames: int = 6, aug_type: str = "segmentation",
+                 mode: str = "train", seed: int = 0,
+                 load_measurements: bool = False, batch_size: int = 32,
+                 boost: int = 1, crop: Sequence[int] = (125, 90),
+                 resize: Sequence[int] = (224, 224), speed_factor: float = 10,
+                 n_commands: int = 4):
+        if mode.lower() not in ("train", "val"):
+            raise ValueError("Unknown parameter for mode, it should be 'train' or 'val'")
+        self.mode = mode.lower()
+        self.load_measurements = load_measurements
+        self.aug_type = aug_type
+        self.batch_size = batch_size
+        self.boost = boost
+        self.crop, self.resize = tuple(crop), tuple(resize)
+        self.speed_factor = speed_factor
+        self.n_commands = n_commands
+        self.past_frames = past_frames
+        self.future_frames = future_frames
+
+        seq_len = past_frames + future_frames
+        self.img_address: List[List[str]] = []
+        self.measurements: List[str] = []
+        self.mask_address: List[List[str]] = []
+        for d in _episode_dirs(root):
+            rgb_files = _sorted_files(d / "rgb", ".png")
+            if load_measurements:
+                meas_files = _sorted_files(d / "measurements", ".json")
+            else:
+                mask_files = _sorted_files(d / "mask", ".png")
+            for i in range(len(rgb_files) - seq_len):
+                self.img_address.append(rgb_files[i: i + past_frames])
+                if load_measurements:
+                    self.measurements.append(meas_files[i + past_frames])
+                else:
+                    self.mask_address.append(
+                        mask_files[i + past_frames: i + seq_len])
+
+        rng = np.random.default_rng(seed)
+        self.indices = rng.permutation(len(self.img_address))
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, index: int):
+        i = self.indices[index]
+        imgs = np.stack([
+            crop_resize(imread(a), self.crop, self.resize)
+            for a in self.img_address[i]
+        ]).astype(np.uint8)                                   # (T, H, W, 3)
+        if self.load_measurements:
+            with open(self.measurements[i]) as f:
+                meas = json.load(f)
+            return imgs, preprocess_measurements(
+                meas, self.speed_factor, self.n_commands)
+        masks = np.stack([
+            crop_resize(imread(a), self.crop, self.resize)
+            for a in self.mask_address[i]
+        ]).astype(np.int32)                                   # (T', H, W)
+        return imgs, masks
+
+
+class BatchLoader:
+    """Minimal shuffling batch iterator over the datasets above.
+
+    Collates samples into fixed-shape numpy batches (drop_last=True so every
+    step is the same XLA program). Measurement dicts are collated per key.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * self.batch_size: (b + 1) * self.batch_size]
+            samples = [self.dataset[int(i)] for i in idx]
+            yield self._collate(samples)
+
+    @staticmethod
+    def _collate(samples):
+        first = samples[0]
+        out = []
+        for j, field in enumerate(first):
+            if isinstance(field, dict):
+                out.append({
+                    k: np.stack([s[j][k] for s in samples]) for k in field
+                })
+            else:
+                out.append(np.stack([s[j] for s in samples]))
+        return tuple(out)

@@ -1,0 +1,168 @@
+"""U-Net segmentation models (reference /root/reference/PMoE/model/blocks/unet.py).
+
+:class:`UNet`    — 5-level encoder (64,128,256,512,512) with MaxPool + channel
+dropout, ConvTranspose(k2,s2) decoder with skip concatenation, 1x1 head to 23
+CARLA classes; ``inter_repr`` additionally returns the global-avg-pooled 512-d
+bottleneck (unet.py:8-95).
+:class:`UNetECA` — halved channels (32..512) with ECA gates at the bottleneck and
+before each skip-merge conv (unet.py:98-185).
+
+NHWC layout. The torch decoder passes ``output_size=skip.size()`` to each
+transposed conv; here the upsampled map is crop-or-padded to the skip's spatial
+shape, which is identical for even sizes (224-input path) and well-defined for odd.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import ConvBlock3, ECA
+
+__all__ = ["UNet", "UNetECA"]
+
+Dtype = Any
+
+
+def _max_pool(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+def _match_spatial(x: jnp.ndarray, target_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Crop or zero-pad (bottom/right) so x's H,W equal ``target_hw`` — the
+    behavior of torch ConvTranspose2d's ``output_size=`` adjustment."""
+    h, w = x.shape[1], x.shape[2]
+    th, tw = target_hw
+    if h > th or w > tw:
+        x = x[:, :th, :tw, :]
+        h, w = x.shape[1], x.shape[2]
+    if h < th or w < tw:
+        x = jnp.pad(x, ((0, 0), (0, th - h), (0, tw - w), (0, 0)))
+    return x
+
+
+class _Up(nn.Module):
+    """ConvTranspose(k2, s2) upsample matched to the skip's spatial shape."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip_hw: Tuple[int, int]) -> jnp.ndarray:
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=self.kernel_init,
+        )(x)
+        return _match_spatial(x, skip_hw)
+
+
+class UNet(nn.Module):
+    """Basic U-Net (reference unet.py:8-95)."""
+
+    in_features: int = 3
+    out_features: int = 23
+    gamma: int = 2
+    b: int = 1
+    dropout: float = 0.0
+    inter_repr: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, train: bool = False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        def drop(x):
+            if self.dropout > 0.0:
+                # Dropout2d: zero whole channels (broadcast over H, W)
+                x = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2),
+                               deterministic=not train)(x)
+            return x
+
+        # Contracting path
+        x1 = drop(ConvBlock3(64, name="dwn_1", **kw)(image, train))
+        x2 = drop(ConvBlock3(128, name="dwn_2", **kw)(_max_pool(x1), train))
+        x3 = drop(ConvBlock3(256, name="dwn_3", **kw)(_max_pool(x2), train))
+        x4 = drop(ConvBlock3(512, name="dwn_4", **kw)(_max_pool(x3), train))
+        x5 = ConvBlock3(512, name="dwn_5", **kw)(_max_pool(x4), train)
+
+        # Expansive path
+        x = _Up(512, name="up_1", **kw)(x5, x4.shape[1:3])
+        x = ConvBlock3(512, name="up_forw_1", **kw)(
+            jnp.concatenate([x4, x], axis=-1), train)
+        x = _Up(256, name="up_2", **kw)(x, x3.shape[1:3])
+        x = ConvBlock3(256, name="up_forw_2", **kw)(
+            jnp.concatenate([x3, x], axis=-1), train)
+        x = _Up(128, name="up_3", **kw)(x, x2.shape[1:3])
+        x = ConvBlock3(128, name="up_forw_3", **kw)(
+            jnp.concatenate([x2, x], axis=-1), train)
+        x = _Up(64, name="up_4", **kw)(x, x1.shape[1:3])
+        x = ConvBlock3(64, name="up_forw_4", **kw)(
+            jnp.concatenate([x1, x], axis=-1), train)
+
+        x = nn.Conv(self.out_features, kernel_size=(1, 1), name="out", **kw)(x)
+
+        if self.inter_repr:
+            pooled = jnp.mean(x5.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
+            return pooled, x
+        return x
+
+
+class UNetECA(nn.Module):
+    """U-Net with ECA channel attention, halved channels (reference unet.py:98-185)."""
+
+    in_features: int = 3
+    out_features: int = 23
+    gamma: int = 2
+    b: int = 1
+    dropout: float = 0.0
+    inter_repr: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, train: bool = False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        eca = lambda c, name: ECA(c, self.gamma, self.b, name=name, **kw)
+
+        def drop(x):
+            if self.dropout > 0.0:
+                x = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2),
+                               deterministic=not train)(x)
+            return x
+
+        x1 = drop(ConvBlock3(32, name="dwn_1", **kw)(image, train))
+        x2 = drop(ConvBlock3(64, name="dwn_2", **kw)(_max_pool(x1), train))
+        x3 = drop(ConvBlock3(128, name="dwn_3", **kw)(_max_pool(x2), train))
+        x4 = drop(ConvBlock3(256, name="dwn_4", **kw)(_max_pool(x3), train))
+        x5 = eca(256, "eca_0")(_max_pool(x4))
+        x5 = ConvBlock3(512, name="dwn_5", **kw)(x5, train)
+
+        x = _Up(256, name="up_1", **kw)(x5, x4.shape[1:3])
+        x = ConvBlock3(256, name="up_forw_1", **kw)(
+            eca(512, "eca_1")(jnp.concatenate([x4, x], axis=-1)), train)
+        x = _Up(128, name="up_2", **kw)(x, x3.shape[1:3])
+        x = ConvBlock3(128, name="up_forw_2", **kw)(
+            eca(256, "eca_2")(jnp.concatenate([x3, x], axis=-1)), train)
+        x = _Up(64, name="up_3", **kw)(x, x2.shape[1:3])
+        x = ConvBlock3(64, name="up_forw_3", **kw)(
+            eca(128, "eca_3")(jnp.concatenate([x2, x], axis=-1)), train)
+        x = _Up(32, name="up_4", **kw)(x, x1.shape[1:3])
+        x = ConvBlock3(32, name="up_forw_4", **kw)(
+            eca(64, "eca_4")(jnp.concatenate([x1, x], axis=-1)), train)
+
+        x = nn.Conv(self.out_features, kernel_size=(1, 1), name="out", **kw)(x)
+
+        if self.inter_repr:
+            pooled = jnp.mean(x5.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
+            return pooled, x
+        return x

@@ -1,0 +1,232 @@
+"""Shared trainer skeleton for the 4-stage pipeline.
+
+The reference duplicates one trainer skeleton per stage script (SURVEY §1.2):
+config -> logger -> data -> model -> optimizer -> cosine LR -> epoch loop with
+grad-norm probe -> SWA -> validation -> EarlyStopping -> checkpointing.
+Here the skeleton is factored once; stage scripts subclass :class:`BaseLearner`
+and provide the jitted step functions.
+
+TPU specifics:
+* ONE jitted ``train_step`` per stage with donated state — params, optimizer
+  and batch-stats never leave HBM between steps.
+* Batches are device_put with the leading dim sharded over the mesh's 'data'
+  axis; XLA inserts the gradient all-reduce over ICI (no hand-written
+  collectives).
+* uint8 batches travel over PCIe/ICI and are normalized + augmented on device
+  inside the step (4x less host->device traffic than float32).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import BatchLoader
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils import (EarlyStopping, get_conf, init_logger, load_checkpoint,
+                     save_checkpoint, to_dict, graft)
+from .optim import TrainState, average_batch_stats, swa_update
+
+__all__ = ["BaseLearner"]
+
+
+class BaseLearner:
+    """Config-driven trainer; subclasses implement model/step specifics."""
+
+    #: subclass label used in checkpoints / logs
+    stage: str = "base"
+
+    def __init__(self, cfg):
+        self.cfg = get_conf(cfg) if isinstance(cfg, (str, Path)) else cfg
+        self.logger = init_logger(self.cfg.get("logger", {}))
+        self.logger.log_parameters({"stage": self.stage, **_flatten_cfg(self.cfg)})
+        self.rng = jax.random.PRNGKey(int(self.cfg.get("dataset", {}).get("seed", 0)))
+        self.mesh = make_mesh() if len(jax.devices()) > 1 else None
+        self.epoch = 0
+        self.iteration = 0
+        self.best = float("inf")
+        tp = self.cfg.get("train_params", {})
+        self.epochs = int(tp.get("epochs", 1))
+        self.swa_start = int(tp.get("swa_start", 10 ** 9))
+        self.save_every = int(tp.get("save_every", 10))
+        self.start_saving_best = int(tp.get("start_saving_best", 0))
+        self.early_stopping = (
+            EarlyStopping(patience=int(tp.get("patience", 7)),
+                          delta=float(tp.get("early_stopping_delta", 0.0)))
+            if bool(tp.get("early_stopping", False)) else None)
+
+        self.build_data()
+        self.build_model()
+        self.maybe_resume()
+
+    # -- subclass hooks --------------------------------------------------------
+    def build_data(self) -> None:
+        raise NotImplementedError
+
+    def build_model(self) -> None:
+        raise NotImplementedError
+
+    def train_step(self, state: TrainState, batch, rng, iteration):
+        """jitted: (state, batch, rng, it) -> (state, metrics dict)"""
+        raise NotImplementedError
+
+    def validate(self) -> dict:
+        raise NotImplementedError
+
+    # -- shared machinery -------------------------------------------------------
+    def make_loader(self, dataset, shuffle=True) -> BatchLoader:
+        dl = self.cfg.get("dataloader", {})
+        return BatchLoader(dataset, batch_size=int(dl.get("batch_size", 32)),
+                           shuffle=shuffle and bool(dl.get("shuffle", True)))
+
+    def put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    @property
+    def save_dir(self) -> Path:
+        return Path(self.cfg.get("directory", {}).get("save", "./checkpoint"))
+
+    @property
+    def model_name(self) -> str:
+        return self.cfg.get("directory", {}).get("model_name", self.stage)
+
+    def checkpoint_state(self) -> dict:
+        state = {
+            "epoch": np.int64(self.epoch),
+            "iteration": np.int64(self.iteration),
+            "model": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "best": np.float64(self.best),
+        }
+        if self.state.swa_params is not None:
+            state["model-swa"] = self.state.swa_params
+            state["swa_n"] = np.asarray(self.state.swa_n)
+        # opt_state is an optax pytree of namedtuples: store flattened leaves
+        leaves = jax.tree_util.tree_leaves(self.state.opt_state)
+        state["opt_leaves"] = {str(i): np.asarray(l) for i, l in enumerate(leaves)}
+        return state
+
+    def save(self, is_best: bool, suffix: str = "") -> None:
+        name = f"{self.model_name}-e{self.epoch}{suffix}"
+        save_checkpoint(self.checkpoint_state(), is_best, self.save_dir, name,
+                        best_prefix=self.model_name)
+
+    def maybe_resume(self) -> None:
+        if not bool(self.cfg.get("logger", {}).get("resume", False)):
+            return
+        load = self.cfg.get("directory", {}).get("load", "")
+        if not load or not Path(load).exists():
+            return
+        ck = load_checkpoint(load)
+        self.restore_from(ck)
+        print(f"[{self.stage}] resumed from {load} at epoch {self.epoch}")
+
+    def restore_from(self, ck: dict) -> None:
+        self.epoch = int(ck.get("epoch", 0))
+        self.iteration = int(ck.get("iteration", 0))
+        self.best = float(ck.get("best", float("inf")))
+        params = graft(self.state.params, ck.get("model", {}))
+        batch_stats = graft(self.state.batch_stats, ck.get("batch_stats", {}))
+        opt_state = self.state.opt_state
+        if "opt_leaves" in ck:
+            treedef = jax.tree_util.tree_structure(opt_state)
+            leaves = [ck["opt_leaves"][str(i)]
+                      for i in range(treedef.num_leaves)]
+            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        swa = ck.get("model-swa")
+        self.state = self.state.replace(
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            swa_params=graft(self.state.params, swa) if swa is not None else None,
+            swa_n=jnp.asarray(ck["swa_n"]) if "swa_n" in ck else None,
+            step=jnp.asarray(self.iteration, jnp.int32))
+
+    def train(self) -> None:
+        """The generic epoch loop (reference train_*.py skeleton)."""
+        step_fn = jax.jit(self.train_step, donate_argnums=0)
+        for self.epoch in range(self.epoch + 1, self.epochs + 1):
+            t0 = time.perf_counter()
+            epoch_loss, n_batches = 0.0, 0
+            for batch in self.train_loader:
+                batch = self.put(batch)
+                self.state, metrics = step_fn(
+                    self.state, batch, self.next_rng(),
+                    jnp.asarray(self.iteration, jnp.float32))
+                self.iteration += 1
+                n_batches += 1
+                epoch_loss += float(metrics["loss"])
+                if self.iteration % 50 == 0:
+                    self.logger.log_metrics(
+                        {k: float(v) for k, v in metrics.items()},
+                        step=self.iteration, epoch=self.epoch, prefix="batch")
+            epoch_loss /= max(n_batches, 1)
+
+            if self.epoch >= self.swa_start:
+                self.state = swa_update(self.state)
+
+            val_metrics = self.validate()
+            dt = time.perf_counter() - t0
+            self.logger.log_metrics(
+                {"train_loss": epoch_loss, "time": dt, **val_metrics},
+                step=self.iteration, epoch=self.epoch)
+            print(f"[{self.stage}] epoch {self.epoch}/{self.epochs} "
+                  f"loss={epoch_loss:.4f} "
+                  f"val={val_metrics.get('val_loss', float('nan')):.4f} "
+                  f"({dt:.1f}s)")
+
+            val_loss = val_metrics.get("val_loss", epoch_loss)
+            is_best = (val_loss < self.best
+                       and self.epoch >= self.start_saving_best)
+            if is_best:
+                self.best = val_loss
+            if is_best or self.epoch % self.save_every == 0:
+                self.save(is_best)
+            if self.early_stopping is not None:
+                self.early_stopping(val_loss)
+                if self.early_stopping.early_stop:
+                    print(f"[{self.stage}] early stopping at epoch {self.epoch}")
+                    break
+
+        if self.state.swa_params is not None:
+            self.recalibrate_swa_bn()
+            self.save(False, suffix="-swa")
+        self.logger.end()
+
+    def recalibrate_swa_bn(self, max_batches: int = 50) -> None:
+        """torch ``update_bn`` analog: recompute BatchNorm statistics for the
+        SWA-averaged parameters by equal-weight averaging per-batch stats."""
+        collect = jax.jit(self.collect_batch_stats)
+        stats = []
+        for i, batch in enumerate(self.train_loader):
+            if i >= max_batches:
+                break
+            stats.append(collect(self.state.swa_params, self.put(batch),
+                                 self.next_rng()))
+        if stats:
+            self.state = self.state.replace(
+                batch_stats=average_batch_stats([jax.device_get(s) for s in stats]))
+
+    def collect_batch_stats(self, params, batch, rng):
+        """Subclass hook: forward in train mode, return new batch_stats."""
+        raise NotImplementedError
+
+
+def _flatten_cfg(cfg, prefix=""):
+    out = {}
+    for k, v in to_dict(cfg).items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_cfg(v, key + "."))
+        else:
+            out[key] = v
+    return out
