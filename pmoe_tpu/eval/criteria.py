@@ -1,0 +1,184 @@
+"""Scenario evaluation criteria — the functional subset of srunner's atomic
+criteria that the PMoE benchmarks exercise (SURVEY §2.7):
+
+* :class:`CollisionTest`      (atomic_criteria.py:285)  — per-type collision
+  counting; optionally terminal (NoCrash terminates on collision,
+  nocrash_eval_scenario.py:178-213).
+* :class:`RouteCompletionTest` (atomic_criteria.py:1587) — % of route driven,
+  by projection onto the dense route polyline.
+* :class:`RunningRedLightTest` (atomic_criteria.py:1690) — crossings on red.
+* :class:`InRouteTest`         (atomic_criteria.py:1456) — terminal when the ego
+  strays beyond a max distance from the route.
+* :class:`BlockedTest`         (ActorSpeedAboveThresholdTest:439) — terminal
+  when speed stays below 0.1 m/s for 180 s.
+* :class:`TimeoutTest`         — route timeout at 0.8 s/m (route_scenario.py:51).
+
+Each criterion consumes the per-tick world view and exposes srunner-style
+``test_status`` ('SUCCESS' | 'RUNNING' | 'FAILURE') plus an ``actual_value``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..sim.interface import CollisionEvent, EgoState, Route, SIM_DT
+
+__all__ = ["Criterion", "CollisionTest", "RouteCompletionTest",
+           "RunningRedLightTest", "InRouteTest", "BlockedTest", "TimeoutTest",
+           "CriteriaTree"]
+
+
+class Criterion:
+    name = "criterion"
+
+    def __init__(self, terminate_on_failure: bool = False):
+        self.test_status = "RUNNING"
+        self.actual_value = 0
+        self.terminate_on_failure = terminate_on_failure
+        self.events: List[dict] = []
+
+    def update(self, ego: EgoState, frame) -> None:
+        raise NotImplementedError
+
+    @property
+    def failed(self) -> bool:
+        return self.test_status == "FAILURE"
+
+
+class CollisionTest(Criterion):
+    name = "CollisionTest"
+
+    def update(self, ego: EgoState, frame) -> None:
+        ev: Optional[CollisionEvent] = frame.collision
+        if ev is not None:
+            self.actual_value += 1
+            self.test_status = "FAILURE"
+            self.events.append({"type": f"collision_{ev.other_type}",
+                                "frame": ev.frame,
+                                "intensity": ev.intensity})
+
+
+class RouteCompletionTest(Criterion):
+    name = "RouteCompletionTest"
+
+    def __init__(self, route: Route, dist_success: float = 10.0, **kw):
+        super().__init__(**kw)
+        self.route = route
+        self._cum = np.concatenate([
+            [0.0], np.cumsum(np.sqrt(
+                (np.diff(route.positions, axis=0) ** 2).sum(-1)))])
+        self._total = max(float(self._cum[-1]), 1e-6)
+        self._dist_success = dist_success
+        self._best_idx = 0
+        self.actual_value = 0.0
+
+    def update(self, ego: EgoState, frame) -> None:
+        p = np.array([ego.x, ego.y])
+        # monotone progress: search a window ahead of the best index
+        lo = self._best_idx
+        hi = min(lo + 200, len(self.route.positions))
+        d = np.sqrt(((self.route.positions[lo:hi] - p) ** 2).sum(-1))
+        near = np.where(d < 6.0)[0]
+        if near.size:
+            self._best_idx = lo + int(near[-1])
+        self.actual_value = round(
+            100.0 * self._cum[self._best_idx] / self._total, 2)
+        end_dist = float(np.linalg.norm(self.route.positions[-1] - p))
+        if (end_dist < self._dist_success
+                or self._best_idx >= len(self.route.positions) - 2):
+            self.actual_value = 100.0
+            self.test_status = "SUCCESS"
+
+
+class RunningRedLightTest(Criterion):
+    name = "RunningRedLightTest"
+
+    def __init__(self, backend, **kw):
+        super().__init__(**kw)
+        self._backend = backend
+
+    def update(self, ego: EgoState, frame) -> None:
+        if self._backend.ran_red_light():
+            self.actual_value += 1
+            self.events.append({"type": "red_light", "frame": frame.frame})
+
+
+class InRouteTest(Criterion):
+    name = "InRouteTest"
+
+    def __init__(self, route: Route, max_dist: float = 30.0, **kw):
+        super().__init__(terminate_on_failure=True, **kw)
+        self.route = route
+        self.max_dist = max_dist
+
+    def update(self, ego: EgoState, frame) -> None:
+        p = np.array([ego.x, ego.y])
+        d = np.sqrt(((self.route.positions - p) ** 2).sum(-1)).min()
+        if d > self.max_dist:
+            self.test_status = "FAILURE"
+            self.events.append({"type": "off_route", "frame": frame.frame})
+
+
+class BlockedTest(Criterion):
+    """Terminal failure when blocked (speed < threshold) too long
+    (NoCrash: below_threshold_max_time=180 s, nocrash_eval_scenario.py:196-204)."""
+
+    name = "BlockedTest"
+
+    def __init__(self, speed_threshold: float = 0.1, max_time: float = 180.0,
+                 **kw):
+        super().__init__(terminate_on_failure=True, **kw)
+        self.speed_threshold = speed_threshold
+        self.max_time = max_time
+        self._blocked_time = 0.0
+
+    def update(self, ego: EgoState, frame) -> None:
+        if ego.speed < self.speed_threshold:
+            self._blocked_time += SIM_DT
+        else:
+            self._blocked_time = 0.0
+        if self._blocked_time >= self.max_time:
+            self.test_status = "FAILURE"
+            self.events.append({"type": "blocked", "frame": frame.frame})
+
+
+class TimeoutTest(Criterion):
+    """Route timeout: 0.8 s per meter of route (route_scenario.py:49-51)."""
+
+    name = "TimeoutTest"
+
+    def __init__(self, route: Route, seconds_per_meter: float = 0.8,
+                 minimum: float = 20.0, **kw):
+        super().__init__(terminate_on_failure=True, **kw)
+        self.timeout = max(route.length * seconds_per_meter, minimum)
+
+    def update(self, ego: EgoState, frame) -> None:
+        if frame.timestamp > self.timeout:
+            self.test_status = "FAILURE"
+            self.events.append({"type": "timeout", "frame": frame.frame})
+
+
+class CriteriaTree:
+    """The per-episode criteria bundle (BasicScenario's criteria tree)."""
+
+    def __init__(self, criteria: List[Criterion]):
+        self.criteria = criteria
+
+    def update(self, ego: EgoState, frame) -> None:
+        for c in self.criteria:
+            c.update(ego, frame)
+
+    @property
+    def should_terminate(self) -> bool:
+        return any(c.failed and c.terminate_on_failure for c in self.criteria) \
+            or any(c.test_status == "SUCCESS"
+                   and isinstance(c, RouteCompletionTest)
+                   for c in self.criteria)
+
+    def get(self, name: str) -> Optional[Criterion]:
+        for c in self.criteria:
+            if c.name == name or type(c).__name__ == name:
+                return c
+        return None

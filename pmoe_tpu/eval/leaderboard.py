@@ -1,0 +1,107 @@
+"""CARLA-leaderboard-style route evaluator with composed scoring.
+
+Functional rebuild of the reference ``LeaderboardEvaluator``
+(leaderboard_evaluator.py:60-493) over the simulator seam: RouteIndexer work
+queue with JSON resume (:407-428), per-route criteria, infraction records and
+``route_completion x prod(penalties)`` scoring via
+:class:`pmoe_tpu.eval.statistics.StatisticsManager` (:247-263,436-439).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List
+
+from ..sim.interface import DrivingBackend, SIM_DT
+from .criteria import (BlockedTest, CollisionTest, CriteriaTree, InRouteTest,
+                       RouteCompletionTest, RunningRedLightTest, TimeoutTest)
+from .nocrash import build_input_data
+from .route_indexer import RouteIndexer
+from .statistics import StatisticsManager
+
+__all__ = ["LeaderboardEvaluator"]
+
+
+class LeaderboardEvaluator:
+    def __init__(self, backend: DrivingBackend, stats: StatisticsManager,
+                 checkpoint_path: str = "./simulation_results.json",
+                 n_vehicles: int = 0, n_pedestrians: int = 0,
+                 max_ticks: int | None = None, verbose: bool = True):
+        self.backend = backend
+        self.stats = stats
+        self.checkpoint_path = checkpoint_path
+        self.n_vehicles = n_vehicles
+        self.n_pedestrians = n_pedestrians
+        self.max_ticks = max_ticks
+        self.verbose = verbose
+
+    def run(self, agent_factory, route_indexer: RouteIndexer,
+            resume: bool = False) -> dict:
+        if resume:
+            route_indexer.resume(self.checkpoint_path + ".index")
+            self.stats.resume(self.checkpoint_path)
+        while route_indexer.peek():
+            cfg = route_indexer.next()
+            self._run_route(agent_factory, cfg)
+            route_indexer.save_state(self.checkpoint_path + ".index")
+            self.stats.save(self.checkpoint_path)
+        glob = self.stats.compute_global_statistics(route_indexer.total)
+        self.stats.save(self.checkpoint_path)
+        if self.verbose:
+            print(f"[leaderboard] global: {glob['scores']}")
+        return glob
+
+    def _run_route(self, agent_factory, cfg) -> None:
+        trace = self.backend.trace_route(cfg.start_idx, cfg.target_idx)
+        frame = self.backend.reset(trace, weather=1,
+                                   n_vehicles=self.n_vehicles,
+                                   n_pedestrians=self.n_pedestrians,
+                                   seed=cfg.index)
+        agent = agent_factory()
+        agent.set_global_plan(trace.gps_plan())
+        self.stats.set_route(cfg.name, cfg.index)
+
+        criteria = CriteriaTree([
+            CollisionTest(),                       # NOT terminal on leaderboard
+            RouteCompletionTest(trace),
+            RunningRedLightTest(self.backend),
+            InRouteTest(trace),
+            BlockedTest(),
+            TimeoutTest(trace),
+        ])
+
+        ticks = 0
+        while True:
+            control = agent.run_step(build_input_data(frame), frame.timestamp)
+            frame = self.backend.tick(control)
+            criteria.update(self.backend.ego_state(), frame)
+            ticks += 1
+            if criteria.should_terminate:
+                break
+            if self.max_ticks is not None and ticks >= self.max_ticks:
+                break
+        agent.destroy()
+
+        rc = criteria.get("RouteCompletionTest")
+        events = {
+            "collision_pedestrian": [], "collision_vehicle": [],
+            "collision_static": [], "red_light": [],
+            "vehicle_blocked": [], "route_timeout": [], "route_dev": [],
+        }
+        for ev in criteria.get("CollisionTest").events:
+            kind = ev["type"].replace("collision_walker", "collision_pedestrian")
+            events.setdefault(kind, []).append(ev)
+        events["red_light"] = criteria.get("RunningRedLightTest").events
+        events["vehicle_blocked"] = criteria.get("BlockedTest").events
+        events["route_timeout"] = criteria.get("TimeoutTest").events
+        events["route_dev"] = criteria.get("InRouteTest").events
+
+        record = self.stats.compute_route_statistics(
+            cfg.index, float(rc.actual_value), events,
+            duration_game=ticks * SIM_DT,
+            status="Completed" if rc.actual_value == 100.0 else "Failed")
+        if self.verbose:
+            print(f"[leaderboard] {cfg.name} rep{cfg.repetition_index}: "
+                  f"composed={record.scores['score_composed']:.1f} "
+                  f"route={record.scores['score_route']:.1f} "
+                  f"penalty={record.scores['score_penalty']:.2f}")

@@ -78,6 +78,10 @@ def _build_backbone(backbone_cfg: Mapping, dtype, param_dtype,
                       dtype=dtype, param_dtype=param_dtype, name=name)
         from ..nn.resnet import RESNET_SPECS, ResNetBackbone
         from ..nn.mobilenet import MobileNetBackbone
+        from ..nn.backbone import TinyBackbone
+        if arch == "tiny":
+            common.pop("gamma"), common.pop("b")
+            return TinyBackbone(**common)
         if arch in RESNET_SPECS:
             return ResNetBackbone(arch=arch, **common)
         if "mobilenet" in arch:

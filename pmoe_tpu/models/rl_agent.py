@@ -1,0 +1,241 @@
+"""DDPG actor/critic for stage-3 fine-tuning (reference /root/reference/PMoE/model/rl_agent.py).
+
+The whole DDPG update — target-actor rollout, critic TD regression, actor
+ascent, soft target update — is ONE jitted function over device-resident
+parameters; the replay buffer stays in host RAM (numpy ring buffers) and each
+learn step does a single batched device_put.
+
+Reference bugs fixed (they make stage 3 un-runnable / wrong as shipped,
+SURVEY §2.1):
+* ``target.vew(...)`` typo (rl_agent.py:172) — n/a here;
+* done-mask not inverted (rl_agent.py:169) — we use ``(1 - done)``;
+* ``params.backbone.type`` vs ``params.critic.backbone.type`` (rl_agent.py:47).
+
+Network shapes follow conf/stage_3.yaml: critic = backbone(512) + speed/command/
+action MLP encoders (128 each) -> value MLP(896 -> ... -> 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Mapping, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from ..nn.blocks import MLP
+from ..utils.nn import make_freeze_mask
+from ..utils.noise import OrnsteinUhlenbeckActionNoise
+from .moe import get_model, _build_backbone, _mlp, _fold_time
+from .replay import ReplayMemory, Transition
+
+__all__ = ["Critic", "Agent", "DDPGState"]
+
+
+class Critic(nn.Module):
+    """Q(s, a): backbone + 3 MLP encoders -> value head (reference rl_agent.py:42-73)."""
+
+    cfg: Mapping          # the critic config block
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, speed, command, action, train: bool = False):
+        dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        state = _build_backbone(self.cfg["backbone"], name="backbone", **dt)(
+            _fold_time(images), train)
+        spd = _mlp(self.cfg["speed_encoder"], name="speed_encoder", **dt)(
+            speed, train)
+        act = _mlp(self.cfg["action_encoder"], name="action_encoder", **dt)(
+            action, train)
+        cmd = _mlp(self.cfg["command_encoder"], name="command_encoder", **dt)(
+            command, train)
+        feats = jnp.concatenate([state, spd, cmd, act], axis=-1)
+        return _mlp(self.cfg["value_prediction"], name="value_pred", **dt)(
+            feats, train)
+
+
+class DDPGState(NamedTuple):
+    actor_params: Any
+    actor_batch_stats: Any
+    actor_opt: Any
+    critic_params: Any
+    critic_batch_stats: Any
+    critic_opt: Any
+    target_actor_params: Any
+    target_critic_params: Any
+
+
+class Agent:
+    """DDPG agent (reference rl_agent.py:76-219): replay buffer, OU noise,
+    target networks with soft update tau, jitted learn step."""
+
+    def __init__(self, params: Mapping, example_obs, rng=None):
+        self.gamma = float(params["gamma"])
+        self.tau = float(params["tau"])
+        self.batch_size = int(params["batch_size"])
+        self.memory = ReplayMemory(int(params["buffer_size"]))
+
+        ou = params["OU"]
+        self.noise = OrnsteinUhlenbeckActionNoise(
+            mu=np.array(ou["mu"], float), sigma=np.array(ou["sigma"], float),
+            theta=np.array(ou["theta"], float)[0]
+            if np.ndim(ou["theta"]) else float(ou["theta"]))
+
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        actor_cfg = params["actor"]
+        critic_cfg = params["critic"]
+        self.actor_model = get_model(actor_cfg)
+        self.actor_type = actor_cfg.get("type", "pmoe")
+        self.critic_model = Critic(cfg=critic_cfg)
+
+        images, speed, command = example_obs
+        k1, k2, k3 = jax.random.split(self._next_rng(), 3)
+        avars = self.actor_model.init({"params": k1, "sample": k2},
+                                      images, speed, command, False)
+        cvars = self.critic_model.init({"params": k3}, images, speed, command,
+                                       jnp.zeros((images.shape[0], 2)), False)
+
+        actor_params = avars["params"]
+        self.actor_batch_stats = avars.get("batch_stats", {})
+        critic_params = cvars["params"]
+        self.critic_batch_stats = cvars.get("batch_stats", {})
+
+        # actor trains only the exclude_freeze subset (e.g. mixers + alphas)
+        trainable = make_freeze_mask(actor_params,
+                                     list(actor_cfg.get("exclude_freeze", [])))
+        frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
+        self.actor_tx = optax.chain(
+            optax.adam(float(actor_cfg.get("lr", 1e-5))),
+            optax.masked(optax.set_to_zero(), frozen))
+        self.critic_tx = optax.adam(float(critic_cfg.get("lr", 1e-3)))
+
+        self.state = DDPGState(
+            actor_params=actor_params,
+            actor_batch_stats=self.actor_batch_stats,
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_params=critic_params,
+            critic_batch_stats=self.critic_batch_stats,
+            critic_opt=self.critic_tx.init(critic_params),
+            # update_network_parameters(tau=1): hard copy at init
+            target_actor_params=jax.tree_util.tree_map(jnp.array, actor_params),
+            target_critic_params=jax.tree_util.tree_map(jnp.array, critic_params),
+        )
+        self._learn_jit = jax.jit(self._learn_step)
+        self._act_jit = jax.jit(self._act)
+
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    @staticmethod
+    def _norm(images):
+        """uint8 frame stacks (replay storage format) -> float in [0,1]."""
+        if images.dtype == jnp.uint8:
+            return images.astype(jnp.float32) / 255.0
+        return images
+
+    # -- acting -------------------------------------------------------------------
+    def _act(self, state: DDPGState, images, speed, command, rng):
+        images = self._norm(images)
+        variables = {"params": state.actor_params,
+                     "batch_stats": state.actor_batch_stats}
+        return self.actor_model.apply(variables, images, speed, command, False,
+                                      method="sample", rngs={"sample": rng})
+
+    def sample(self, images, speed, command) -> np.ndarray:
+        """Policy action + OU exploration noise (reference rl_agent.py:98-109)."""
+        mu = self._act_jit(self.state, jnp.asarray(images), jnp.asarray(speed),
+                           jnp.asarray(command), self._next_rng())
+        return np.asarray(mu) + self.noise()
+
+    def remember(self, *transition) -> None:
+        self.memory.push(*transition)
+
+    # -- learning -----------------------------------------------------------------
+    def _forward_actor(self, params, batch_stats, images, speed, command, rng):
+        out = self.actor_model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, speed, command, False, method="sample",
+            rngs={"sample": rng})
+        return out
+
+    def _learn_step(self, state: DDPGState, batch: dict, rng):
+        k1, k2 = jax.random.split(rng)
+        images = self._norm(batch["images"])
+        speed, command, action = batch["speed"], batch["command"], batch["action"]
+        reward = batch["reward"].reshape(-1, 1)
+        done = batch["done"].reshape(-1, 1).astype(jnp.float32)
+        n_images = self._norm(batch["new_images"])
+        n_speed, n_command = batch["new_speed"], batch["new_command"]
+
+        # targets: y = r + gamma * Q'(s', pi'(s')) * (1 - done)
+        target_actions = self._forward_actor(
+            state.target_actor_params, state.actor_batch_stats,
+            n_images, n_speed, n_command, k1)
+        q_next = self.critic_model.apply(
+            {"params": state.target_critic_params,
+             "batch_stats": state.critic_batch_stats},
+            n_images, n_speed, n_command, target_actions, False)
+        y = reward + self.gamma * q_next * (1.0 - done)
+        y = jax.lax.stop_gradient(y)
+
+        def critic_loss_fn(cp):
+            q = self.critic_model.apply(
+                {"params": cp, "batch_stats": state.critic_batch_stats},
+                images, speed, command, action, False)
+            return jnp.mean((y - q) ** 2)
+
+        critic_loss, c_grads = jax.value_and_grad(critic_loss_fn)(
+            state.critic_params)
+        c_updates, critic_opt = self.critic_tx.update(
+            c_grads, state.critic_opt, state.critic_params)
+        critic_params = optax.apply_updates(state.critic_params, c_updates)
+
+        def actor_loss_fn(ap):
+            mu = self._forward_actor(ap, state.actor_batch_stats,
+                                     images, speed, command, k2)
+            q = self.critic_model.apply(
+                {"params": critic_params,
+                 "batch_stats": state.critic_batch_stats},
+                images, speed, command, mu, False)
+            return -jnp.mean(q)
+
+        actor_loss, a_grads = jax.value_and_grad(actor_loss_fn)(
+            state.actor_params)
+        a_updates, actor_opt = self.actor_tx.update(
+            a_grads, state.actor_opt, state.actor_params)
+        actor_params = optax.apply_updates(state.actor_params, a_updates)
+
+        # soft target update: theta' <- tau*theta + (1-tau)*theta'
+        soft = lambda t, s: jax.tree_util.tree_map(
+            lambda a, b: self.tau * b + (1.0 - self.tau) * a, t, s)
+        new_state = state._replace(
+            actor_params=actor_params, actor_opt=actor_opt,
+            critic_params=critic_params, critic_opt=critic_opt,
+            target_actor_params=soft(state.target_actor_params, actor_params),
+            target_critic_params=soft(state.target_critic_params, critic_params),
+        )
+        return new_state, {"critic_loss": critic_loss, "actor_loss": actor_loss}
+
+    def learn(self):
+        if len(self.memory) < self.batch_size:
+            return None
+        tr: Transition = self.memory.sample(self.batch_size)
+        batch = {k: jnp.asarray(v) for k, v in tr._asdict().items()}
+        self.state, metrics = self._learn_jit(self.state, batch,
+                                              self._next_rng())
+        return {k: float(v) for k, v in metrics.items()}
+
+    def update_network_parameters(self, tau: float | None = None) -> None:
+        tau = self.tau if tau is None else tau
+        soft = lambda t, s: jax.tree_util.tree_map(
+            lambda a, b: tau * b + (1.0 - tau) * a, t, s)
+        self.state = self.state._replace(
+            target_actor_params=soft(self.state.target_actor_params,
+                                     self.state.actor_params),
+            target_critic_params=soft(self.state.target_critic_params,
+                                      self.state.critic_params))

@@ -30,6 +30,29 @@ __all__ = ["get_backbone", "SegmentationBackbone"]
 Dtype = Any
 
 
+class TinyBackbone(nn.Module):
+    """Minimal 3-stage CNN -> 512-d head. Not in the reference zoo; a
+    framework-native debug/smoke backbone (fast compiles, tiny params) selected
+    with ``arch: tiny``."""
+
+    in_channels: int = 12
+    out_dim: int = 512
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        for i, feat in enumerate((16, 32, 64)):
+            x = nn.Conv(feat, (3, 3), strides=(2, 2), padding=1,
+                        use_bias=False, name=f"conv_{i}", **kw)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn_{i}", **kw)(x)
+            x = nn.relu(x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
+        return nn.Dense(self.out_dim, name="fc", **kw)(x)
+
+
 def get_backbone(
     arch: str = "resnet18",
     n_frames: int = 4,
@@ -42,6 +65,9 @@ def get_backbone(
 ) -> nn.Module:
     arch_l = arch.lower()
     in_channels = n_frames * n_channels
+    if arch_l == "tiny":
+        return TinyBackbone(in_channels=in_channels, dtype=dtype,
+                            param_dtype=param_dtype)
     if arch_l in RESNET_SPECS:
         return ResNetBackbone(arch=arch_l, in_channels=in_channels, gamma=gamma,
                               b=b, dtype=dtype, param_dtype=param_dtype)

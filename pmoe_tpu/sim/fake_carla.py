@@ -1,0 +1,276 @@
+"""Fake CARLA backend: scripted kinematics + synthetic camera.
+
+Fills the reference's biggest testability gap (SURVEY §4: "no fake/mock CARLA
+backend anywhere"): a deterministic 20 Hz world with
+
+* a grid-road town (spawn points at block corners, routes traced over the road
+  graph with LANEFOLLOW/LEFT/RIGHT/STRAIGHT commands like CARLA's
+  GlobalRoutePlanner output),
+* a kinematic-bicycle ego (wheelbase 2.9 m, throttle/brake longitudinal model),
+* NPC vehicles and pedestrians moving on scripted paths with radius collision
+  detection (collision sensor semantics of sensor_interface.py:157-200),
+* traffic lights with phase cycling + red-light-crossing detection
+  (atomic_criteria.py RunningRedLightTest:1690's functional contract),
+* a cheap projected-road RGB camera (800x600 by default) so the full
+  vision->control agent loop runs.
+
+Everything is deterministic given the seed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .interface import (SIM_DT, CollisionEvent, DrivingBackend, EgoState,
+                        RoadOption, Route, SensorFrame, VehicleControl,
+                        xy_to_latlon)
+
+__all__ = ["FakeCarlaBackend"]
+
+_BLOCK = 100.0          # meters between intersections
+_LANE_OFFSET = 2.0      # right-hand lane offset from road centerline
+_WHEELBASE = 2.9
+_MAX_ACCEL = 3.5        # m/s^2 at full throttle
+_MAX_BRAKE = 8.0
+_DRAG = 0.3             # speed damping
+_COLLISION_RADIUS = 2.0
+_LIGHT_PERIOD = 10.0    # seconds green, then red
+_TOWN_GRID = {"Town01": 4, "Town02": 3, "FullTown01-v1": 4}
+
+
+class _TrafficLight:
+    def __init__(self, x: float, y: float, phase_offset: float):
+        self.x, self.y = x, y
+        self.phase_offset = phase_offset
+
+    def is_red(self, t: float) -> bool:
+        return ((t + self.phase_offset) % (2 * _LIGHT_PERIOD)) >= _LIGHT_PERIOD
+
+
+class _NPC:
+    """A point actor oscillating along a segment."""
+
+    def __init__(self, kind: str, a, b, speed: float, phase: float):
+        self.kind = kind
+        self.a, self.b = np.asarray(a, float), np.asarray(b, float)
+        self.speed = speed
+        self.phase = phase
+
+    def position(self, t: float) -> np.ndarray:
+        seg = self.b - self.a
+        length = float(np.linalg.norm(seg)) or 1.0
+        # triangle wave in [0, 1]
+        u = ((t * self.speed / length) + self.phase) % 2.0
+        u = u if u <= 1.0 else 2.0 - u
+        return self.a + u * seg
+
+
+class FakeCarlaBackend(DrivingBackend):
+    def __init__(self, town: str = "Town01", img_width: int = 800,
+                 img_height: int = 600, render: bool = True):
+        self.town = town
+        self.W, self.H = int(img_width), int(img_height)
+        self.render = render
+        n = _TOWN_GRID.get(town, 4)
+        self._grid_n = n
+        # spawn points: lane positions near each intersection
+        self._spawn: List[Tuple[float, float]] = []
+        for i in range(n):
+            for j in range(n):
+                self._spawn.append((i * _BLOCK + 10.0, j * _BLOCK + _LANE_OFFSET))
+        self._lights = [
+            _TrafficLight(i * _BLOCK, j * _BLOCK, phase_offset=7.0 * ((i + j) % 3))
+            for i in range(n) for j in range(n)
+        ]
+        self._rng = np.random.default_rng(0)
+        self._route: Optional[Route] = None
+        self._npcs: List[_NPC] = []
+        self.frame = 0
+        self.t = 0.0
+        self._ego = EgoState()
+        self._weather = 1
+        self._ran_red = False
+        self._was_before_light: dict = {}
+
+    # -- world ------------------------------------------------------------------
+    def spawn_points(self) -> Sequence[Tuple[float, float]]:
+        return list(self._spawn)
+
+    def trace_route(self, start_idx: int, target_idx: int) -> Route:
+        """Manhattan route over the grid roads, 1 m hops, with turn commands at
+        the corner (mirrors GlobalRoutePlanner.trace_route's dense output)."""
+        sx, sy = self._spawn[start_idx % len(self._spawn)]
+        tx, ty = self._spawn[target_idx % len(self._spawn)]
+        pts: List[Tuple[float, float]] = []
+        opts: List[RoadOption] = []
+
+        def walk(from_pt, to_pt, cmd_at_end):
+            fx, fy = from_pt
+            gx, gy = to_pt
+            dist = math.hypot(gx - fx, gy - fy)
+            steps = max(int(dist), 1)
+            for s in range(steps):
+                u = (s + 1) / steps
+                pts.append((fx + u * (gx - fx), fy + u * (gy - fy)))
+                near_end = s >= steps - 10
+                opts.append(cmd_at_end if near_end and cmd_at_end
+                            else RoadOption.LANEFOLLOW)
+
+        corner = (tx, sy)
+        turn: Optional[RoadOption] = None
+        if abs(tx - sx) > 1.0 and abs(ty - sy) > 1.0:
+            # pick LEFT/RIGHT by cross product of the two legs
+            leg1 = (tx - sx, 0.0)
+            leg2 = (0.0, ty - sy)
+            cross = leg1[0] * leg2[1] - leg1[1] * leg2[0]
+            turn = RoadOption.LEFT if cross > 0 else RoadOption.RIGHT
+        pts.append((sx, sy))
+        opts.append(RoadOption.LANEFOLLOW)
+        if abs(tx - sx) > 1.0:
+            walk((sx, sy), corner, turn)
+        if abs(ty - sy) > 1.0:
+            walk(corner, (tx, ty), None)
+        if len(pts) < 2:
+            pts.append((sx + 1.0, sy))
+            opts.append(RoadOption.LANEFOLLOW)
+        return Route(positions=np.asarray(pts, float), options=opts)
+
+    # -- episode ----------------------------------------------------------------
+    def reset(self, route: Route, weather: int = 1, n_vehicles: int = 0,
+              n_pedestrians: int = 0, seed: int = 0) -> SensorFrame:
+        self._route = route
+        self._weather = weather
+        self._rng = np.random.default_rng(seed)
+        self.frame = 0
+        self.t = 0.0
+        self._ran_red = False
+        self._was_before_light = {}
+        x0, y0 = route.positions[0]
+        x1, y1 = route.positions[min(5, len(route.positions) - 1)]
+        self._ego = EgoState(x=float(x0), y=float(y0),
+                             yaw=math.atan2(y1 - y0, x1 - x0), speed=0.0)
+        self._npcs = []
+        span = self._grid_n * _BLOCK
+        for _ in range(n_vehicles):
+            a = self._rng.uniform(0, span, 2)
+            axis = self._rng.integers(0, 2)
+            b = a.copy()
+            b[axis] += self._rng.uniform(30, 120)
+            self._npcs.append(_NPC("vehicle", a, b,
+                                   speed=self._rng.uniform(3, 8),
+                                   phase=self._rng.uniform(0, 2)))
+        for _ in range(n_pedestrians):
+            a = self._rng.uniform(0, span, 2)
+            b = a + self._rng.uniform(-15, 15, 2)
+            self._npcs.append(_NPC("walker", a, b,
+                                   speed=self._rng.uniform(0.5, 2),
+                                   phase=self._rng.uniform(0, 2)))
+        return self._sensor_frame(collision=None)
+
+    # -- dynamics ----------------------------------------------------------------
+    def tick(self, control: VehicleControl) -> SensorFrame:
+        e = self._ego
+        accel = (_MAX_ACCEL * float(np.clip(control.throttle, 0, 1))
+                 - _MAX_BRAKE * float(np.clip(control.brake, 0, 1))
+                 - _DRAG * e.speed)
+        e.speed = max(0.0, e.speed + accel * SIM_DT)
+        steer = float(np.clip(control.steer, -1, 1)) * 0.5   # max wheel angle rad
+        e.yaw += (e.speed / _WHEELBASE) * math.tan(steer) * SIM_DT
+        e.x += e.speed * math.cos(e.yaw) * SIM_DT
+        e.y += e.speed * math.sin(e.yaw) * SIM_DT
+        self.frame += 1
+        self.t += SIM_DT
+
+        collision = self._check_collision()
+        self._ran_red = self._check_red_light()
+        return self._sensor_frame(collision)
+
+    def _check_collision(self) -> Optional[CollisionEvent]:
+        p = np.array([self._ego.x, self._ego.y])
+        for npc in self._npcs:
+            if np.linalg.norm(npc.position(self.t) - p) < _COLLISION_RADIUS:
+                return CollisionEvent(self.frame, npc.kind,
+                                      intensity=max(self._ego.speed, 0.5))
+        # leaving the road entirely = hitting something static
+        span = self._grid_n * _BLOCK
+        if not (-20 <= self._ego.x <= span + 20 and
+                -20 <= self._ego.y <= span + 20):
+            return CollisionEvent(self.frame, "static")
+        return None
+
+    def _check_red_light(self) -> bool:
+        """Crossing within 8 m of a red light while moving toward it."""
+        p = np.array([self._ego.x, self._ego.y])
+        for li, light in enumerate(self._lights):
+            d = math.hypot(light.x - p[0], light.y - p[1])
+            before = d > 8.0
+            was_before = self._was_before_light.get(li, True)
+            self._was_before_light[li] = before
+            if was_before and not before and light.is_red(self.t):
+                return True
+        return False
+
+    def ran_red_light(self) -> bool:
+        return self._ran_red
+
+    def ego_state(self) -> EgoState:
+        return EgoState(self._ego.x, self._ego.y, self._ego.yaw, self._ego.speed)
+
+    # -- sensors -----------------------------------------------------------------
+    def _sensor_frame(self, collision) -> SensorFrame:
+        lat, lon = xy_to_latlon(self._ego.x, self._ego.y)
+        return SensorFrame(
+            frame=self.frame,
+            timestamp=self.t,
+            rgb=self._render_camera() if self.render else None,
+            speed=self._ego.speed,
+            gnss=(lat, lon, 0.0),
+            collision=collision,
+            compass=self._ego.yaw,
+        )
+
+    def _render_camera(self) -> np.ndarray:
+        """Cheap ground-plane projection: sky / grass / road band + light blob.
+
+        Fully vectorized; gives the vision stack real structure (horizon, road
+        ahead curving with route geometry) at ~0 cost.
+        """
+        W, H = self.W, self.H
+        img = np.empty((H, W, 3), np.uint8)
+        horizon = H // 2
+        # sky and grass
+        img[:horizon] = (135, 180, 230) if self._weather in (1, 3, 6) else (210, 140, 90)
+        img[horizon:] = (60, 120, 60)
+
+        # project road points ahead of ego onto the image
+        e = self._ego
+        cos_y, sin_y = math.cos(-e.yaw), math.sin(-e.yaw)
+        pts = self._route.positions if self._route is not None else np.zeros((1, 2))
+        rel = pts - np.array([e.x, e.y])
+        xf = rel[:, 0] * cos_y - rel[:, 1] * sin_y     # forward
+        yl = rel[:, 0] * sin_y + rel[:, 1] * cos_y     # left
+        ahead = (xf > 1.0) & (xf < 80.0)
+        if ahead.any():
+            xf, yl = xf[ahead], yl[ahead]
+            f = 0.9 * W                                 # focal (pixels)
+            u = (W / 2 + f * yl / xf).astype(int)
+            v = (horizon + (0.35 * H) / xf * 12.0).astype(int)   # cam height ~1.3m
+            half_w = np.maximum((f * 3.5 / xf).astype(int), 1)   # road half-width
+            v = np.clip(v, horizon, H - 1)
+            for ui, vi, hw in zip(u, v, half_w):
+                lo, hi = max(ui - hw, 0), min(ui + hw, W)
+                if lo < hi:
+                    img[vi, lo:hi] = (90, 90, 95)
+        # darker weather variants
+        if self._weather in (3, 10):
+            img = (img * 0.8).astype(np.uint8)
+        elif self._weather in (6, 14):
+            img = (img * 0.6).astype(np.uint8)
+        return img
+
+    def close(self) -> None:
+        self._route = None
+        self._npcs = []

@@ -1,0 +1,228 @@
+"""Stage 2 — action-prediction training (MoE / PU-Net expert / PMoE).
+
+Reference: /root/reference/PMoE/trainer/train_2.py. Model from the config
+factory (train_2.py:55); criterion by model type (train_2.py:78-85);
+validation metric L1(sample().clamp(-1,1), control) (train_2.py:269-271);
+config path via argv (train_2.py:373-379).
+
+Cross-stage grafting (reference moe.py:281-283,331-343 + punet.py:40-50):
+* punet / punet_inter: the inner PredictiveUNet restores from the stage-1
+  checkpoint at ``model.punet_path`` and is frozen.
+* pmoe: the MoE restores from ``model.pmoe.moe_dir`` and freezes (minus
+  ``exclude_freeze``); the PU-Net expert restores from ``model.pmoe.punet_dir``
+  when given (pmoe+pretrained) and freezes; the lat/long mixers train.
+
+Usage: ``python -m pmoe_tpu.trainer.train_2 <conf>``
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import CarlaSegPred
+from ..models.moe import get_model
+from ..ops.augment import augment
+from ..ops.distributions import MixtureOfGaussians
+from ..utils import load_checkpoint, graft
+from ..utils.nn import check_grad_norm
+from .learner import BaseLearner
+from .losses import get_criterion
+from .optim import TrainState, make_lr_schedule, make_optimizer
+
+__all__ = ["Learner"]
+
+
+def _load_model_tree(path: str):
+    ck = load_checkpoint(path)
+    return ck.get("model", ck), ck.get("batch_stats", None)
+
+
+class Learner(BaseLearner):
+    stage = "stage2"
+
+    def build_data(self):
+        ds = self.cfg.get("dataset", {})
+        vds = self.cfg.get("val_dataset", ds)
+
+        def make(dcfg, mode):
+            return CarlaSegPred(
+                root=dcfg.get("root", "data/train"),
+                past_frames=int(dcfg.get("past_frames", 4)),
+                future_frames=int(dcfg.get("future_frames", 6)),
+                aug_type=dcfg.get("aug_type", "super_hard"),
+                mode=mode, seed=int(dcfg.get("seed", 0)),
+                load_measurements=True,
+                batch_size=int(dcfg.get("batch_size", 32)),
+                boost=int(dcfg.get("boost", 1)),
+                crop=tuple(dcfg.get("crop", (125, 90))),
+                resize=tuple(dcfg.get("resize", (224, 224))),
+                speed_factor=float(dcfg.get("speed_factor", 10)),
+                n_commands=int(dcfg.get("n_commands", 4)),
+            )
+
+        self.train_set = make(ds, "train")
+        self.val_set = make(vds, "val")
+        self.train_loader = self.make_loader(self.train_set)
+        self.val_loader = self.make_loader(self.val_set, shuffle=False)
+        self.aug_type = ds.get("aug_type", "super_hard")
+        self.boost = int(ds.get("boost", 1))
+        self.n_commands = int(ds.get("n_commands", 4))
+        self.past_frames = int(ds.get("past_frames", 4))
+        self.batch_size = int(self.cfg.get("dataloader", {}).get("batch_size", 32))
+
+    def build_model(self):
+        mcfg = self.cfg.get("model", {})
+        self.model_type = mcfg.get("type")
+        self.model = get_model(mcfg)
+        self.criterion = get_criterion(self.model_type)
+        self.loss_coefs = tuple(mcfg.get("loss_coefs", (0.7, 0.3)))
+
+        ds = self.cfg.get("dataset", {})
+        resize = tuple(ds.get("resize", (224, 224)))
+        dummy_img = jnp.zeros((2, self.past_frames, *resize, 3))
+        dummy_spd = jnp.zeros((2, 1))
+        dummy_cmd = jnp.zeros((2, self.n_commands))
+        variables = self.model.init(
+            {"params": self.next_rng(), "sample": self.next_rng()},
+            dummy_img, dummy_spd, dummy_cmd, False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        params, batch_stats, exclude, freeze = self._graft_and_freeze(
+            mcfg, params, batch_stats)
+
+        steps = max(1, len(self.train_loader))
+        tp = self.cfg.get("train_params", {})
+        lr0 = float(self.cfg.get("adam", {}).get("lr", 2e-4))
+        schedule = make_lr_schedule(lr0, self.epochs, steps,
+                                    swa_start=self.swa_start,
+                                    swa_lr=float(self.cfg.get("SWA", {})
+                                                 .get("swa_lr", lr0)))
+        tx = make_optimizer(self.cfg, schedule,
+                            grad_clipping=tp.get("grad_clipping", 1.0),
+                            params=params, exclude_freeze=exclude,
+                            freeze_all_except=freeze)
+        self.state = TrainState.create(self.model.apply, params, batch_stats, tx)
+
+    def _graft_and_freeze(self, mcfg, params, batch_stats):
+        """Stage-to-stage weight transfer + freeze rules per model type."""
+        exclude, freeze = None, False
+
+        def graft_sub(tree, key, src):
+            if src is None or key not in tree:
+                return tree
+            tree = dict(tree)
+            tree[key] = graft(tree[key], src, verbose=True)
+            return tree
+
+        punet_path = str(mcfg.get("punet_path", ""))
+        if self.model_type in ("punet", "punet_inter"):
+            if punet_path and Path(punet_path).exists():
+                src_p, src_bs = _load_model_tree(punet_path)
+                params = graft_sub(params, "punet", src_p)
+                batch_stats = graft_sub(batch_stats, "punet", src_bs)
+            # train everything except the frozen PredictiveUNet
+            exclude, freeze = ["speed_encoder", "command_encoder", "backbone",
+                               "action_head", "action_out", "speed_pred"], True
+        elif self.model_type in ("pmoe", "pmoe+pretrained"):
+            pmoe_cfg = mcfg.get("pmoe", {})
+            moe_dir = str(pmoe_cfg.get("moe_dir", ""))
+            punet_dir = str(pmoe_cfg.get("punet_dir", ""))
+            if moe_dir and Path(moe_dir).exists():
+                src_p, src_bs = _load_model_tree(moe_dir)
+                params = graft_sub(params, "moe", src_p)
+                batch_stats = graft_sub(batch_stats, "moe", src_bs)
+            if punet_dir and Path(punet_dir).exists():
+                src_p, src_bs = _load_model_tree(punet_dir)
+                params = graft_sub(params, "punet", src_p)
+                batch_stats = graft_sub(batch_stats, "punet", src_bs)
+            if punet_path and Path(punet_path).exists():
+                # inner PredictiveUNet of the PU-Net expert
+                src_p, src_bs = _load_model_tree(punet_path)
+                if "punet" in params and "punet" in params["punet"]:
+                    params = dict(params)
+                    params["punet"] = graft_sub(params["punet"], "punet", src_p)
+                    if "punet" in batch_stats:
+                        batch_stats = dict(batch_stats)
+                        batch_stats["punet"] = graft_sub(
+                            batch_stats["punet"], "punet", src_bs)
+            exclude = ["lat_weights", "long_weights"]
+            exclude += [str(e) for e in mcfg.get("exclude_freeze", [])]
+            if not punet_dir:
+                # pmoe (not +pretrained): the PU-Net expert trains jointly
+                # (reference moe.py:340-343 only freezes it when dir given)
+                exclude.append("punet")
+            freeze = True
+        return params, batch_stats, exclude, freeze
+
+    def _split_batch(self, batch):
+        imgs, meas = batch
+        speed = meas["speed"].reshape(-1, 1).astype(jnp.float32)
+        control = meas["control"].astype(jnp.float32)
+        command = meas["command"].astype(jnp.float32)
+        return imgs, speed, control, command
+
+    def train_step(self, state: TrainState, batch, rng, iteration):
+        imgs, speed, control, command = self._split_batch(batch)
+        k_aug, k_drop, k_sample = jax.random.split(rng, 3)
+        x = imgs.astype(jnp.float32) / 255.0
+        x = augment(k_aug, x, iteration * self.batch_size * self.boost,
+                    self.aug_type, self.batch_size)
+
+        def loss_fn(params):
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, speed, command, True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop, "sample": k_sample})
+            pred, speed_pred = out
+            loss = self.criterion(pred, speed_pred, control, speed,
+                                  self.loss_coefs)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads).replace(
+            batch_stats=updates["batch_stats"])
+        return state, {"loss": loss, "grad_norm": check_grad_norm(grads)}
+
+    def eval_step(self, state: TrainState, batch, rng):
+        imgs, speed, control, command = self._split_batch(batch)
+        x = imgs.astype(jnp.float32) / 255.0
+        actions = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, speed, command, False, method="sample", rngs={"sample": rng})
+        actions = jnp.clip(actions, -1.0, 1.0)
+        return jnp.mean(jnp.abs(actions - control))
+
+    def collect_batch_stats(self, params, batch, rng):
+        imgs, speed, _, command = self._split_batch(batch)
+        x = imgs.astype(jnp.float32) / 255.0
+        k1, k2 = jax.random.split(rng)
+        _, updates = self.model.apply(
+            {"params": params, "batch_stats": self.state.batch_stats},
+            x, speed, command, True, mutable=["batch_stats"],
+            rngs={"dropout": k1, "sample": k2})
+        return updates["batch_stats"]
+
+    def validate(self) -> dict:
+        eval_fn = jax.jit(self.eval_step)
+        total, n = 0.0, 0
+        for batch in self.val_loader:
+            total += float(eval_fn(self.state, self.put(batch), self.next_rng()))
+            n += 1
+        return {"val_loss": total / n if n else float("nan")}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        raise SystemExit("usage: python -m pmoe_tpu.trainer.train_2 <conf>")
+    Learner(argv[0]).train()
+
+
+if __name__ == "__main__":
+    main()

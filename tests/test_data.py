@@ -1,0 +1,62 @@
+"""Dataset / loader tests over the synthetic CARLA-layout episodes."""
+
+import numpy as np
+
+from pmoe_tpu.data.dataset import (BatchLoader, CarlaSeg, CarlaSegPred,
+                                   preprocess_measurements)
+
+
+def test_carla_seg(synthetic_root):
+    ds = CarlaSeg(root=str(synthetic_root), mode="train", crop=(8, 8),
+                  resize=(32, 32))
+    assert len(ds) == 32            # 2 episodes x 16 frames
+    img, mask = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert mask.shape == (32, 32) and mask.dtype == np.int32
+
+
+def test_carla_seg_pred_masks(synthetic_root):
+    ds = CarlaSegPred(root=str(synthetic_root), past_frames=4, future_frames=3,
+                      load_measurements=False, crop=(8, 8), resize=(32, 32))
+    # per episode: 16 - (4+3) = 9 windows
+    assert len(ds) == 18
+    imgs, masks = ds[0]
+    assert imgs.shape == (4, 32, 32, 3)
+    assert masks.shape == (3, 32, 32)
+
+
+def test_carla_seg_pred_measurements(synthetic_root):
+    ds = CarlaSegPred(root=str(synthetic_root), past_frames=4, future_frames=3,
+                      load_measurements=True, crop=(8, 8), resize=(32, 32),
+                      n_commands=4)
+    imgs, meas = ds[0]
+    assert imgs.shape == (4, 32, 32, 3)
+    assert meas["control"].shape == (2,)
+    assert meas["command"].shape == (4,)
+    assert meas["command"].sum() == 1.0
+
+
+def test_preprocess_measurements_pedal_folding():
+    # brake > 0.05 -> pedal = -brake (reference data_loader.py:236-240)
+    m = preprocess_measurements(
+        {"steer": 0.1, "brake": 0.5, "throttle": 0.9, "speed": 5.0,
+         "target_speed": 6.0, "command": 2}, speed_factor=10, n_commands=4)
+    np.testing.assert_allclose(m["control"], [0.1, -0.5])
+    assert m["speed"] == np.float32(0.5)
+    assert m["command"][1] == 1.0
+    # brake <= 0.05 -> pedal = throttle
+    m2 = preprocess_measurements(
+        {"steer": 0.0, "brake": 0.05, "throttle": 0.7, "speed": 0,
+         "target_speed": 0, "command": 1}, 10, 4)
+    np.testing.assert_allclose(m2["control"], [0.0, 0.7])
+
+
+def test_batch_loader_collation(synthetic_root):
+    ds = CarlaSegPred(root=str(synthetic_root), past_frames=4, future_frames=3,
+                      load_measurements=True, crop=(8, 8), resize=(32, 32))
+    loader = BatchLoader(ds, batch_size=4)
+    batch = next(iter(loader))
+    imgs, meas = batch
+    assert imgs.shape == (4, 4, 32, 32, 3)
+    assert meas["control"].shape == (4, 2)
+    assert len(loader) == 18 // 4

@@ -1,0 +1,129 @@
+"""Model-zoo interface tests: every model type maps
+(images, speed, command) -> (actions, speed_pred) and samples actions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmoe_tpu.models import get_model, PredictiveUNet
+from pmoe_tpu.ops.distributions import MixtureOfGaussians
+
+B, T, H, W = 2, 4, 32, 32
+
+
+def _inputs():
+    k = jax.random.PRNGKey(0)
+    return (jax.random.uniform(k, (B, T, H, W, 3)), jnp.ones((B, 1)) * 0.3,
+            jax.nn.one_hot(jnp.array([0, 2]), 4))
+
+
+def _init_apply(model, needs_sample=False):
+    img, spd, cmd = _inputs()
+    rngs = {"params": jax.random.PRNGKey(0)}
+    if needs_sample:
+        rngs["sample"] = jax.random.PRNGKey(1)
+    v = model.init(rngs, img, spd, cmd, False)
+    out = model.apply(v, img, spd, cmd, False,
+                      rngs={"sample": jax.random.PRNGKey(2)} if needs_sample
+                      else None)
+    sample = model.apply(v, img, spd, cmd, False, method="sample",
+                         rngs={"sample": jax.random.PRNGKey(3)})
+    return v, out, sample
+
+
+def test_moe(tiny_moe_cfg):
+    model = get_model(tiny_moe_cfg)
+    v, (dist, speeds), sample = _init_apply(model)
+    assert isinstance(dist, MixtureOfGaussians)
+    assert dist.probs.shape == (B, 2)
+    np.testing.assert_allclose(np.asarray(dist.probs.sum(-1)), 1.0, rtol=1e-5)
+    assert dist.mean.shape == (B, 2, 2)
+    assert (np.asarray(dist.std) >= 0).all()      # elu(x)+1 can reach 0 only at -inf
+    assert speeds.shape == (B, 2, 1)              # per-expert speed preds
+    assert sample.shape == (B, 2)
+    # stacked expert params: leading K axis (TPU-native expert batching)
+    kernel = v["params"]["experts"]["alpha"]["kernel"]
+    assert kernel.shape[0] == 2
+
+
+def test_moe_alt_gate_uses_input_features(tiny_moe_cfg):
+    cfg = dict(tiny_moe_cfg, type="moe_alt")
+    model = get_model(cfg)
+    v, (dist, _), _ = _init_apply(model)
+    assert "alpha_hidden" in v["params"]["experts"]
+    assert dist.probs.shape == (B, 2)
+
+
+def test_moe_shared(tiny_moe_cfg):
+    cfg = dict(tiny_moe_cfg, type="moe_shared")
+    model = get_model(cfg)
+    v, (dist, speed), sample = _init_apply(model)
+    assert dist.mean.shape == (B, 2, 2)
+    assert speed.shape == (B, 1)                  # single shared speed head
+    assert sample.shape == (B, 2)
+    # one shared backbone, no stacked axis
+    assert "experts" not in v["params"]
+
+
+def test_punet_expert(tiny_moe_cfg):
+    cfg = dict(tiny_moe_cfg, type="punet")
+    model = get_model(cfg)
+    v, (actions, speed), sample = _init_apply(model)
+    assert actions.shape == (B, 2)
+    assert np.abs(np.asarray(actions)).max() <= 1.0          # tanh squashed
+    assert speed.shape == (B, 1)
+    np.testing.assert_allclose(np.asarray(sample), np.asarray(actions))
+
+
+def test_punet_inter_skips_backbone(tiny_moe_cfg):
+    cfg = dict(tiny_moe_cfg, type="punet_inter")
+    model = get_model(cfg)
+    v, (actions, _), _ = _init_apply(model)
+    assert actions.shape == (B, 2)
+    assert "backbone" not in v["params"]
+
+
+def test_pmoe(tiny_moe_cfg):
+    cfg = dict(tiny_moe_cfg, type="pmoe")
+    model = get_model(cfg)
+    v, (actions, speed), sample = _init_apply(model, needs_sample=True)
+    assert actions.shape == (B, 2)
+    assert np.abs(np.asarray(actions)).max() <= 1.0
+    assert speed == -1                            # dummy (reference moe.py:361)
+    assert sample.shape == (B, 2)
+    assert "lat_weights" in v["params"] and "long_weights" in v["params"]
+
+
+def test_punet_rollout_is_autoregressive():
+    """Each future mask must depend on the previous prediction."""
+    m = PredictiveUNet(past_frames=2, future_frames=3, num_classes=7)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 16, 16, 3))
+    v = m.init({"params": jax.random.PRNGKey(1)}, x, False)
+    out = m.apply(v, x, False)
+    assert out.shape == (1, 3, 16, 16, 7)
+    # frames differ (rollout actually advanced)
+    assert not np.allclose(np.asarray(out[0, 0]), np.asarray(out[0, 1]))
+
+
+def test_frozen_unet_gets_no_gradient(tiny_moe_cfg):
+    """PU-Net expert: grads through the frozen PredictiveUNet must be zero
+    (stop_gradient), everything else nonzero."""
+    cfg = dict(tiny_moe_cfg, type="punet")
+    model = get_model(cfg)
+    img, spd, cmd = _inputs()
+    v = model.init({"params": jax.random.PRNGKey(0)}, img, spd, cmd, False)
+
+    def loss(params):
+        a, s = model.apply({"params": params,
+                            "batch_stats": v.get("batch_stats", {})},
+                           img, spd, cmd, False)
+        return jnp.sum(a ** 2) + jnp.sum(s ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    punet_norm = sum(float(jnp.abs(x).sum())
+                     for x in jax.tree_util.tree_leaves(g["punet"]))
+    head_norm = sum(float(jnp.abs(x).sum())
+                    for x in jax.tree_util.tree_leaves(g["action_head"]))
+    assert punet_norm == 0.0
+    assert head_norm > 0.0

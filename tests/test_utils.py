@@ -1,0 +1,103 @@
+"""Tests for config, checkpoint grafting, freeze masks, augmentation, noise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmoe_tpu.ops.augment import augment, schedule_factors
+from pmoe_tpu.utils import (Config, get_conf, graft, load_checkpoint,
+                            make_freeze_mask, save_checkpoint, to_dict)
+from pmoe_tpu.utils.noise import OrnsteinUhlenbeckActionNoise
+
+
+def test_config_roundtrip(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("a:\n  b: 1\n  c: [1, 2]\nd: hello\n")
+    cfg = get_conf(str(p)[:-5])          # stem, .yaml appended (reference API)
+    assert cfg.a.b == 1
+    assert cfg.d == "hello"
+    assert dict(cfg.a)["c"] == [1, 2]
+    merged = cfg.merge({"a": {"b": 7}})
+    assert merged.a.b == 7 and merged.a.c == [1, 2]
+    assert to_dict(cfg) == {"a": {"b": 1, "c": [1, 2]}, "d": "hello"}
+
+
+def test_config_splat():
+    cfg = Config({"dims": [1, 2], "act": "relu"})
+
+    def f(dims, act):
+        return dims, act
+
+    assert f(**cfg) == ([1, 2], "relu")
+
+
+def test_checkpoint_save_best_copy(tmp_path):
+    state = {"model": {"w": np.arange(4.0)}, "epoch": np.int64(3)}
+    save_checkpoint(state, True, tmp_path, "unet-e3", best_prefix="unet")
+    ck = load_checkpoint(tmp_path / "unet-best")
+    np.testing.assert_array_equal(ck["model"]["w"], np.arange(4.0))
+    assert ck["epoch"] == 3
+
+
+def test_graft_partial_restore():
+    target = {"a": {"w": jnp.zeros((2, 2)), "b": jnp.zeros(3)},
+              "c": jnp.zeros(5)}
+    source = {"a": {"w": np.ones((2, 2)), "b": np.ones(4)},   # b mismatched
+              "d": np.ones(1)}                                 # d unknown
+    out = graft(target, source)
+    np.testing.assert_array_equal(np.asarray(out["a"]["w"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(out["a"]["b"]), 0.0)  # skipped
+    np.testing.assert_array_equal(np.asarray(out["c"]), 0.0)
+
+
+def test_freeze_mask_substring_semantics():
+    params = {"moe": {"alpha": {"kernel": jnp.zeros(2)},
+                      "backbone": {"kernel": jnp.zeros(2)}},
+              "lat_weights": {"kernel": jnp.zeros(2)}}
+    # empty exclude -> everything frozen (reference utils/nn.py:39-46)
+    m = make_freeze_mask(params, [])
+    assert not any(jax.tree_util.tree_leaves(m))
+    m2 = make_freeze_mask(params, ["alpha", "lat_weights"])
+    assert m2["moe"]["alpha"]["kernel"] is True
+    assert m2["moe"]["backbone"]["kernel"] is False
+    assert m2["lat_weights"]["kernel"] is True
+
+
+def test_schedule_factors_monotone():
+    f0 = schedule_factors("medium", 0.0, 32)
+    f1 = schedule_factors("medium", 1e6, 32)
+    assert float(f1.freq) > float(f0.freq)
+    assert float(f1.blur) > float(f0.blur)
+    assert float(f1.dropout) > float(f0.dropout)    # dropout anneals UP
+    np.testing.assert_allclose(float(f0.dropout), 0.03856658, rtol=1e-5)
+    # super_hard caps frequency at 1.0
+    fsh = schedule_factors("super_hard", 1e9, 32)
+    assert float(fsh.freq) == 1.0
+
+
+@pytest.mark.parametrize("aug_type", ["segmentation", "medium", "super_hard",
+                                      "custom", "none"])
+def test_augment_shapes_and_range(aug_type):
+    x = jnp.full((4, 16, 16, 3), 0.5)
+    y = augment(jax.random.PRNGKey(0), x, 1000.0, aug_type, 32)
+    assert y.shape == x.shape
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+
+def test_augment_at_iteration_zero_mostly_identity():
+    """freq=0.05 at it=0: with 4 images x ~8 ops most pixels untouched."""
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    y = augment(jax.random.PRNGKey(2), x, 0.0, "medium", 32)
+    frac_same = float(jnp.mean(jnp.abs(y - x) < 1e-6))
+    assert frac_same > 0.5
+
+
+def test_ou_noise_reproducible():
+    rng = np.random.default_rng(0)
+    n = OrnsteinUhlenbeckActionNoise(mu=np.zeros(2), sigma=np.array([0.3, 0.1]),
+                                     theta=0.6, rng=rng)
+    a = n()
+    assert a.shape == (2,)
+    n.reset()
+    assert np.array_equal(n.x_prev, np.zeros(2))
