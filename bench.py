@@ -27,6 +27,7 @@ import optax
 from pmoe_tpu.models import get_model
 from pmoe_tpu.ops.augment import augment
 from pmoe_tpu.trainer.losses import moe_loss
+from pmoe_tpu.utils.nn import jit_init
 
 BATCH = 64
 N_EXPERTS = 3
@@ -55,9 +56,8 @@ def bench_train_step():
     spd = jnp.zeros((BATCH, 1), jnp.float32)
     cmd = jnp.zeros((BATCH, COMMANDS), jnp.float32)
     control = jnp.zeros((BATCH, 2), jnp.float32)
-    variables = model.init({"params": rng},
-                           img_u8[:2].astype(jnp.float32), spd[:2], cmd[:2],
-                           False)
+    variables = jit_init(model, {"params": rng},
+                         img_u8[:2].astype(jnp.float32), spd[:2], cmd[:2])
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
     opt_state = tx.init(params)
@@ -103,7 +103,7 @@ def bench_inference_latency():
     frames = jnp.zeros((1, 4, 224, 224, 3), jnp.float32)
     spd = jnp.zeros((1, 1), jnp.float32)
     cmd = jnp.zeros((1, COMMANDS), jnp.float32)
-    variables = model.init({"params": rng}, frames, spd, cmd, False)
+    variables = jit_init(model, {"params": rng}, frames, spd, cmd)
 
     @jax.jit
     def agent_step(variables, frames, new_frame_u8, spd, cmd, rng):

@@ -1,0 +1,115 @@
+"""Data-collection agent: drives a route and writes training episodes.
+
+The reference vendors World-on-Rails collector agents that write lmdb
+(reference autoagents/collector_agents/random_collector.py; the Q-collector is
+broken — it imports absent ``rails.*`` modules, SURVEY §1.5). This rebuild
+writes directly in the framework's dataset layout
+(``root/<episode>/{rgb,mask,measurements}/`` — data/dataset.py), so collected
+episodes feed stages 0-2 without conversion. The driving policy is a scripted
+waypoint follower with optional action noise (the reference random collector's
+noisy-expert idea).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from ..sim.interface import RoadOption, VehicleControl
+from .autonomous_agent import AutonomousAgent
+from .waypointer import Waypointer
+
+__all__ = ["CollectorAgent", "collect_episode", "get_entry_point"]
+
+
+def get_entry_point() -> str:
+    return "CollectorAgent"
+
+
+class CollectorAgent(AutonomousAgent):
+    """Scripted follower that records (rgb, mask, measurements) per tick."""
+
+    def setup(self, config) -> None:
+        config = config or {}
+        self.out_dir = Path(config.get("out_dir", "data/train"))
+        self.episode_name = config.get("episode", "episode_000")
+        self.target_speed = float(config.get("target_speed", 6.0))
+        self.noise_std = float(config.get("noise_std", 0.0))
+        self.save_every = int(config.get("save_every", 1))
+        self._rng = np.random.default_rng(int(config.get("seed", 0)))
+        self.waypointer = None
+        self.idx = 0
+        ep = self.out_dir / self.episode_name
+        for sub in ("rgb", "mask", "measurements"):
+            (ep / sub).mkdir(parents=True, exist_ok=True)
+        self._ep_dir = ep
+
+    def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
+        _, gps = input_data["GPS"]
+        _, ego = input_data["EGO"]
+        if self.waypointer is None:
+            self.waypointer = Waypointer(self._global_plan, gps,
+                                         threshold_before=25.0,
+                                         threshold_after=25.0)
+        wx, wy, cmd = self.waypointer.tick(gps)
+        x, y = self.waypointer.latlon_to_xy(gps[0], gps[1])
+        heading = input_data.get("COMPASS", (0, 0.0))[1]
+        target = math.atan2(wy - y, wx - x)
+        err = (target - heading + math.pi) % (2 * math.pi) - math.pi
+        steer = float(np.clip(err, -1.0, 1.0))
+        spd = ego["spd"]
+        throttle = 0.7 if spd < self.target_speed else 0.0
+        pedal = throttle
+        if self.noise_std > 0:
+            steer = float(np.clip(
+                steer + self._rng.normal(0, self.noise_std), -1, 1))
+
+        # record the tick
+        if self.idx % self.save_every == 0:
+            name = f"{self.idx:06d}"
+            _, rgb_bgr = input_data["Narrow_RGB"]
+            cv2.imwrite(str(self._ep_dir / "rgb" / f"{name}.png"),
+                        np.ascontiguousarray(rgb_bgr[..., :3]))
+            seg = input_data.get("SEG")
+            if seg is not None:
+                cv2.imwrite(str(self._ep_dir / "mask" / f"{name}.png"), seg[1])
+            cmd_value = int(cmd) if int(cmd) > 0 else int(RoadOption.LANEFOLLOW)
+            meas = {"steer": steer, "brake": 0.0, "throttle": float(throttle),
+                    "speed": float(spd),
+                    "target_speed": float(self.target_speed),
+                    "command": cmd_value}
+            (self._ep_dir / "measurements" / f"{name}.json").write_text(
+                json.dumps(meas))
+        self.idx += 1
+        return VehicleControl(steer=steer, throttle=throttle, brake=0.0)
+
+
+def collect_episode(backend, out_dir: str, episode: str, start_idx: int = 0,
+                    target_idx: int = 5, weather: int = 1,
+                    max_ticks: int = 500, noise_std: float = 0.0,
+                    seed: int = 0) -> int:
+    """Run one collection episode on a backend with seg rendering; returns the
+    number of recorded frames."""
+    from ..eval.nocrash import build_input_data
+
+    route = backend.trace_route(start_idx, target_idx)
+    frame = backend.reset(route, weather=weather, seed=seed)
+    agent = CollectorAgent({"out_dir": out_dir, "episode": episode,
+                            "noise_std": noise_std, "seed": seed})
+    agent.set_global_plan(route.gps_plan())
+    for _ in range(max_ticks):
+        data = build_input_data(frame)
+        data["COMPASS"] = (frame.frame, frame.compass)
+        if frame.seg is not None:
+            data["SEG"] = (frame.frame, frame.seg)
+        control = agent.run_step(data, frame.timestamp)
+        frame = backend.tick(control)
+        if frame.collision is not None:
+            break
+    n = agent.idx
+    agent.destroy()
+    return n

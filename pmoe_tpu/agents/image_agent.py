@@ -30,6 +30,7 @@ from ..data.dataset import crop_resize
 from ..models.moe import get_model
 from ..sim.interface import RoadOption, VehicleControl
 from ..utils import get_conf, load_checkpoint, graft, init_logger
+from ..utils.nn import jit_init
 from .autonomous_agent import AutonomousAgent, Track
 from .waypointer import Waypointer
 
@@ -57,8 +58,8 @@ class ImageAgent(AutonomousAgent):
         rng = jax.random.PRNGKey(0)
         dummy = (jnp.zeros((1, self.n_frames, 224, 224, 3)),
                  jnp.zeros((1, 1)), jnp.zeros((1, self.n_commands)))
-        variables = self.model.init(
-            {"params": rng, "sample": rng}, *dummy, False)
+        variables = jit_init(self.model, {"params": rng, "sample": rng},
+                             *dummy)
         model_dir = str(actor_cfg.get("model_dir", ""))
         if model_dir and Path(model_dir).exists():
             ck = load_checkpoint(model_dir)

@@ -27,7 +27,7 @@ import optax
 from flax import linen as nn
 
 from ..nn.blocks import MLP
-from ..utils.nn import make_freeze_mask
+from ..utils.nn import make_freeze_mask, jit_init
 from ..utils.noise import OrnsteinUhlenbeckActionNoise
 from .moe import get_model, _build_backbone, _mlp, _fold_time
 from .replay import ReplayMemory, Transition
@@ -94,10 +94,10 @@ class Agent:
 
         images, speed, command = example_obs
         k1, k2, k3 = jax.random.split(self._next_rng(), 3)
-        avars = self.actor_model.init({"params": k1, "sample": k2},
-                                      images, speed, command, False)
-        cvars = self.critic_model.init({"params": k3}, images, speed, command,
-                                       jnp.zeros((images.shape[0], 2)), False)
+        avars = jit_init(self.actor_model, {"params": k1, "sample": k2},
+                         images, speed, command)
+        cvars = jit_init(self.critic_model, {"params": k3}, images, speed,
+                         command, jnp.zeros((images.shape[0], 2)))
 
         actor_params = avars["params"]
         self.actor_batch_stats = avars.get("batch_stats", {})

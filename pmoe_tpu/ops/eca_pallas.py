@@ -1,0 +1,182 @@
+"""Fused ECA (Efficient Channel Attention) Pallas TPU kernel.
+
+The ECA gate (reference basics.py:61-76) is memory-bound: global-avg-pool over
+(H, W), a k-tap conv across channels, sigmoid, then a channel-wise rescale of
+the input. Composed in XLA this is a reduction pass + gate computation +
+scale pass with separate kernel launches; here it is ONE Pallas kernel per
+batch element that streams the (H*W, C) matrix through VMEM twice (accumulate,
+then scale) with the tiny gate math in between — minimal HBM traffic
+(2 reads + 1 write of x) and a single launch.
+
+The backward pass reuses the straightforward XLA composition via
+``jax.custom_vjp`` (recompute-based; ECA is cheap relative to the surrounding
+convs), so the kernel is safe inside training graphs.
+
+On non-TPU backends the kernel runs in interpreter mode (tests/CI).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_eca", "eca_reference", "eca_apply"]
+
+
+def eca_reference(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """XLA composition (identical math to pmoe_tpu.nn.blocks.ECA)."""
+    k = w.shape[0]
+    y = jnp.mean(x.astype(jnp.float32), axis=(1, 2))          # (B, C)
+    y = jax.lax.conv_general_dilated(
+        y[:, :, None], w.reshape(k, 1, 1).astype(jnp.float32),
+        window_strides=(1,), padding=[(k // 2, k // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"))[:, :, 0]
+    gate = jax.nn.sigmoid(y)
+    return x * gate[:, None, None, :].astype(x.dtype)
+
+
+def _largest_divisor_leq(n: int, target: int) -> int:
+    target = max(1, min(n, target))
+    for d in range(target, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def _eca_kernel(x_ref, w_ref, out_ref, acc_ref, in_buf, out_buf, in_sem,
+                out_sem, *, n_rows: int, chunk: int, k: int, c: int):
+    """Per-batch fused ECA with double-buffered DMA (overlap copy & compute).
+
+    x_ref/out_ref: (B, n_rows, C) in HBM/ANY (batch selected via
+    pl.program_id); w_ref: (1, k) VMEM; acc_ref: (8, C) f32 scratch (row 0
+    used); in_buf/out_buf: (2, chunk, C) VMEM; in_sem/out_sem: DMA(2).
+    chunk divides n_rows.
+    """
+    n_chunks = n_rows // chunk
+    bidx = pl.program_id(0)
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(
+            x_ref.at[bidx, pl.ds(i * chunk, chunk), :],
+            in_buf.at[slot], in_sem.at[slot])
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            out_buf.at[slot],
+            out_ref.at[bidx, pl.ds(i * chunk, chunk), :], out_sem.at[slot])
+
+    # ---- pass 1: streaming sum -> acc[0, :] ----
+    # NOTE: serial DMA (start/wait per chunk). Double-buffered prefetch
+    # variants deadlocked the v5e under this Mosaic version (predicated and
+    # unconditional-prefetch forms both hung and wedged the chip); revisit
+    # with a newer toolchain. Correctness of this form is validated on HW.
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def accum_body(i, _):
+        slot = jax.lax.rem(i, 2)
+        cp = in_dma(slot, i)
+        cp.start()
+        cp.wait()
+        acc_ref[0, :] = acc_ref[0, :] + jnp.sum(
+            in_buf[slot].astype(jnp.float32), axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, accum_body, 0)
+
+    # ---- gate: mean -> k-tap channel conv (zero padded) -> sigmoid ----
+    mean = (acc_ref[0:1, :] / n_rows)                          # (1, C) f32
+    conv = jnp.zeros_like(mean)
+    half = k // 2
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    for j in range(k):                                         # tiny static loop
+        shift = j - half
+        rolled = pltpu.roll(mean, (-shift) % c, 1)
+        src = col + shift
+        ok = (src >= 0) & (src < c)
+        conv = conv + w_ref[0, j] * jnp.where(ok, rolled, 0.0)
+    gate = jax.nn.sigmoid(conv)                                # (1, C) f32
+
+    # ---- pass 2: streaming load -> scale -> store (serial DMA; see note) ----
+    def scale_body(i, _):
+        slot = jax.lax.rem(i, 2)
+        cp = in_dma(slot, i)
+        cp.start()
+        cp.wait()
+        out_buf[slot] = (in_buf[slot].astype(jnp.float32)
+                         * gate).astype(out_buf.dtype)
+        store = out_dma(slot, i)
+        store.start()
+        store.wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, scale_body, 0)
+
+
+def _fused_eca_fwd_impl(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    b, h, wd, c = x.shape
+    k = w.shape[0]
+    n_rows = h * wd
+    bytes_per_row = c * x.dtype.itemsize
+    target = max(8, (1024 * 1024) // max(bytes_per_row, 1))
+    chunk = _largest_divisor_leq(n_rows, target)
+    x2 = x.reshape(b, n_rows, c)
+
+    kernel = functools.partial(_eca_kernel, n_rows=n_rows, chunk=chunk,
+                               k=k, c=c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, c), jnp.float32),
+            pltpu.VMEM((2, chunk, c), x.dtype),
+            pltpu.VMEM((2, chunk, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x2, w.reshape(1, k).astype(jnp.float32))
+    return out.reshape(b, h, wd, c)
+
+
+@jax.custom_vjp
+def fused_eca(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Fused ECA: x (B, H, W, C) float, w (k,) conv taps -> gated x."""
+    return _fused_eca_fwd_impl(x, w)
+
+
+def _fwd(x, w):
+    return _fused_eca_fwd_impl(x, w), (x, w)
+
+
+def _bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(eca_reference, x, w)
+    return vjp(g)
+
+
+fused_eca.defvjp(_fwd, _bwd)
+
+
+def eca_apply(x: jnp.ndarray, w: jnp.ndarray,
+              use_pallas: bool = False) -> jnp.ndarray:
+    """Dispatch. The Pallas kernel is hardware-validated for correctness but
+    its serial-DMA form currently trails XLA's fusion on v5e (79 ms vs 41 ms /
+    50 iters @ (8,56,56,512)); XLA is the default until the double-buffered
+    variant is stable on this toolchain. Kernel requires the channel dim
+    128-aligned (Mosaic VMEM slice tiling).
+    """
+    c = x.shape[-1]
+    if use_pallas and c % 128 == 0 and x.shape[1] * x.shape[2] >= 64:
+        return fused_eca(x, w)
+    return eca_reference(x, w)

@@ -70,10 +70,12 @@ class _NPC:
 
 class FakeCarlaBackend(DrivingBackend):
     def __init__(self, town: str = "Town01", img_width: int = 800,
-                 img_height: int = 600, render: bool = True):
+                 img_height: int = 600, render: bool = True,
+                 render_seg: bool = False):
         self.town = town
         self.W, self.H = int(img_width), int(img_height)
         self.render = render
+        self.render_seg = render_seg
         n = _TOWN_GRID.get(town, 4)
         self._grid_n = n
         # spawn points: lane positions near each intersection
@@ -222,21 +224,25 @@ class FakeCarlaBackend(DrivingBackend):
     # -- sensors -----------------------------------------------------------------
     def _sensor_frame(self, collision) -> SensorFrame:
         lat, lon = xy_to_latlon(self._ego.x, self._ego.y)
+        rgb, seg = (self._render_camera() if self.render else (None, None))
         return SensorFrame(
             frame=self.frame,
             timestamp=self.t,
-            rgb=self._render_camera() if self.render else None,
+            rgb=rgb,
             speed=self._ego.speed,
             gnss=(lat, lon, 0.0),
             collision=collision,
             compass=self._ego.yaw,
+            seg=seg,
         )
 
-    def _render_camera(self) -> np.ndarray:
-        """Cheap ground-plane projection: sky / grass / road band + light blob.
+    def _render_camera(self):
+        """Cheap ground-plane projection: sky / grass / road band.
 
         Fully vectorized; gives the vision stack real structure (horizon, road
-        ahead curving with route geometry) at ~0 cost.
+        ahead curving with route geometry) at ~0 cost. With ``render_seg`` a
+        matching CARLA-class segmentation mask is produced (Sky=13, Terrain=22,
+        Road=7) so the fake backend can generate stage-0/1 training data.
         """
         W, H = self.W, self.H
         img = np.empty((H, W, 3), np.uint8)
@@ -244,6 +250,11 @@ class FakeCarlaBackend(DrivingBackend):
         # sky and grass
         img[:horizon] = (135, 180, 230) if self._weather in (1, 3, 6) else (210, 140, 90)
         img[horizon:] = (60, 120, 60)
+        seg = None
+        if self.render_seg:
+            seg = np.empty((H, W), np.uint8)
+            seg[:horizon] = 13      # Sky
+            seg[horizon:] = 22      # Terrain
 
         # project road points ahead of ego onto the image
         e = self._ego
@@ -264,12 +275,14 @@ class FakeCarlaBackend(DrivingBackend):
                 lo, hi = max(ui - hw, 0), min(ui + hw, W)
                 if lo < hi:
                     img[vi, lo:hi] = (90, 90, 95)
+                    if seg is not None:
+                        seg[vi, lo:hi] = 7      # Road
         # darker weather variants
         if self._weather in (3, 10):
             img = (img * 0.8).astype(np.uint8)
         elif self._weather in (6, 14):
             img = (img * 0.6).astype(np.uint8)
-        return img
+        return img, seg
 
     def close(self) -> None:
         self._route = None

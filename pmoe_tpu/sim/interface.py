@@ -78,6 +78,7 @@ class SensorFrame:
     gnss: Tuple[float, float, float] = (0.0, 0.0, 0.0)   # lat, lon, alt
     collision: Optional[CollisionEvent] = None
     compass: float = 0.0
+    seg: Optional[np.ndarray] = None            # (H, W) uint8 class ids
 
 
 @dataclass

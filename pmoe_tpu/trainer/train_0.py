@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..data.dataset import CarlaSeg
 from ..nn.unet import UNet
 from ..ops.augment import augment
-from ..utils.nn import check_grad_norm, get_initializer
+from ..utils.nn import check_grad_norm, get_initializer, jit_init
 from ..utils.utility import class_labels
 from .learner import BaseLearner
 from .losses import cross_entropy_tversky_weighted_loss, dice_score
@@ -62,7 +62,7 @@ class Learner(BaseLearner):
         self.num_classes = int(mcfg.get("out_features", 23))
         resize = tuple(self.cfg.get("dataset", {}).get("resize", (224, 224)))
         dummy = jnp.zeros((1, *resize, int(mcfg.get("in_features", 3))))
-        variables = self.model.init({"params": self.next_rng()}, dummy, False)
+        variables = jit_init(self.model, {"params": self.next_rng()}, dummy)
         # kaiming init menu (reference train_0.py:52-55 applies init_weights)
         init_cfg = self.cfg.get("init_model", None)
         params = variables["params"]

@@ -25,7 +25,7 @@ from ..data.dataset import CarlaSegPred
 from ..models.punet import PredictiveUNet
 from ..ops.augment import augment
 from ..utils import load_checkpoint, graft
-from ..utils.nn import check_grad_norm
+from ..utils.nn import check_grad_norm, jit_init
 from .learner import BaseLearner
 from .losses import autoregressive_loss
 from .optim import TrainState, make_lr_schedule, make_optimizer
@@ -77,7 +77,7 @@ class Learner(BaseLearner):
         ds = self.cfg.get("dataset", {})
         resize = tuple(ds.get("resize", (224, 224)))
         dummy = jnp.zeros((1, self.model.past_frames, *resize, 3))
-        variables = self.model.init({"params": self.next_rng()}, dummy, False)
+        variables = jit_init(self.model, {"params": self.next_rng()}, dummy)
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
         # graft the pretrained segmentation U-Net (stage-0 checkpoint)

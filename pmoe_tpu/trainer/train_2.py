@@ -28,7 +28,7 @@ from ..models.moe import get_model
 from ..ops.augment import augment
 from ..ops.distributions import MixtureOfGaussians
 from ..utils import load_checkpoint, graft
-from ..utils.nn import check_grad_norm
+from ..utils.nn import check_grad_norm, jit_init
 from .learner import BaseLearner
 from .losses import get_criterion
 from .optim import TrainState, make_lr_schedule, make_optimizer
@@ -86,9 +86,9 @@ class Learner(BaseLearner):
         dummy_img = jnp.zeros((2, self.past_frames, *resize, 3))
         dummy_spd = jnp.zeros((2, 1))
         dummy_cmd = jnp.zeros((2, self.n_commands))
-        variables = self.model.init(
-            {"params": self.next_rng(), "sample": self.next_rng()},
-            dummy_img, dummy_spd, dummy_cmd, False)
+        variables = jit_init(
+            self.model, {"params": self.next_rng(), "sample": self.next_rng()},
+            dummy_img, dummy_spd, dummy_cmd)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 

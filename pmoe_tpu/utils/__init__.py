@@ -1,6 +1,7 @@
 from .config import Config, get_conf, to_dict
 from .utility import one_hot, timeit, class_labels, CLASS_NAMES
 from .nn import (
+    jit_init,
     get_initializer,
     make_freeze_mask,
     trainable_count,
@@ -16,7 +17,7 @@ from .logger import ExperimentLogger, init_logger
 __all__ = [
     "Config", "get_conf", "to_dict",
     "one_hot", "timeit", "class_labels", "CLASS_NAMES",
-    "get_initializer", "make_freeze_mask", "trainable_count", "param_count",
+    "jit_init", "get_initializer", "make_freeze_mask", "trainable_count", "param_count",
     "check_grad_norm", "global_norm", "op_counter", "EarlyStopping",
     "save_checkpoint", "load_checkpoint", "graft",
     "ExperimentLogger", "init_logger",

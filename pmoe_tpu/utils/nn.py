@@ -17,6 +17,7 @@ import numpy as np
 from jax import tree_util
 
 __all__ = [
+    "jit_init",
     "get_initializer",
     "make_freeze_mask",
     "trainable_count",
@@ -26,6 +27,15 @@ __all__ = [
     "op_counter",
     "EarlyStopping",
 ]
+
+
+def jit_init(model, rngs, *args, train: bool = False):
+    """``model.init`` under jit: ONE compiled (and persistently cacheable)
+    program instead of eager per-op dispatch — ~10x faster for conv-heavy
+    models on CPU and also faster on TPU. ``train`` stays a static Python
+    bool (modules branch on it)."""
+    fn = jax.jit(lambda rngs, *a: model.init(rngs, *a, train))
+    return jax.tree_util.tree_map(lambda x: x, fn(rngs, *args))
 
 
 def get_initializer(

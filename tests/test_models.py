@@ -19,16 +19,19 @@ def _inputs():
 
 
 def _init_apply(model, needs_sample=False):
+    from pmoe_tpu.utils.nn import jit_init
+
     img, spd, cmd = _inputs()
     rngs = {"params": jax.random.PRNGKey(0)}
     if needs_sample:
         rngs["sample"] = jax.random.PRNGKey(1)
-    v = model.init(rngs, img, spd, cmd, False)
-    out = model.apply(v, img, spd, cmd, False,
-                      rngs={"sample": jax.random.PRNGKey(2)} if needs_sample
-                      else None)
-    sample = model.apply(v, img, spd, cmd, False, method="sample",
-                         rngs={"sample": jax.random.PRNGKey(3)})
+    v = jit_init(model, rngs, img, spd, cmd)
+    fwd = jax.jit(lambda v, i, s, c, k: model.apply(
+        v, i, s, c, False, rngs={"sample": k} if needs_sample else None))
+    out = fwd(v, img, spd, cmd, jax.random.PRNGKey(2))
+    smp = jax.jit(lambda v, i, s, c, k: model.apply(
+        v, i, s, c, False, method="sample", rngs={"sample": k}))
+    sample = smp(v, img, spd, cmd, jax.random.PRNGKey(3))
     return v, out, sample
 
 
@@ -97,10 +100,11 @@ def test_pmoe(tiny_moe_cfg):
 
 def test_punet_rollout_is_autoregressive():
     """Each future mask must depend on the previous prediction."""
+    from pmoe_tpu.utils.nn import jit_init
     m = PredictiveUNet(past_frames=2, future_frames=3, num_classes=7)
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 16, 16, 3))
-    v = m.init({"params": jax.random.PRNGKey(1)}, x, False)
-    out = m.apply(v, x, False)
+    v = jit_init(m, {"params": jax.random.PRNGKey(1)}, x)
+    out = jax.jit(lambda v, x: m.apply(v, x, False))(v, x)
     assert out.shape == (1, 3, 16, 16, 7)
     # frames differ (rollout actually advanced)
     assert not np.allclose(np.asarray(out[0, 0]), np.asarray(out[0, 1]))
@@ -109,10 +113,11 @@ def test_punet_rollout_is_autoregressive():
 def test_frozen_unet_gets_no_gradient(tiny_moe_cfg):
     """PU-Net expert: grads through the frozen PredictiveUNet must be zero
     (stop_gradient), everything else nonzero."""
+    from pmoe_tpu.utils.nn import jit_init
     cfg = dict(tiny_moe_cfg, type="punet")
     model = get_model(cfg)
     img, spd, cmd = _inputs()
-    v = model.init({"params": jax.random.PRNGKey(0)}, img, spd, cmd, False)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0)}, img, spd, cmd)
 
     def loss(params):
         a, s = model.apply({"params": params,
@@ -120,7 +125,7 @@ def test_frozen_unet_gets_no_gradient(tiny_moe_cfg):
                            img, spd, cmd, False)
         return jnp.sum(a ** 2) + jnp.sum(s ** 2)
 
-    g = jax.grad(loss)(v["params"])
+    g = jax.jit(jax.grad(loss))(v["params"])
     punet_norm = sum(float(jnp.abs(x).sum())
                      for x in jax.tree_util.tree_leaves(g["punet"]))
     head_norm = sum(float(jnp.abs(x).sum())

@@ -63,9 +63,9 @@ def test_stage1_one_epoch_freezes_unet(synthetic_root, tmp_path):
     cfg["model"] = {"past_frames": 4, "future_frames": 2, "in_features": 3,
                     "num_classes": 23, "gamma": 2, "b": 1,
                     "model_name": "unet", "model_path": ""}
-    learner = Learner(Config(cfg))
-    before = jax.tree_leaves_sum = None
     import jax
+
+    learner = Learner(Config(cfg))
     unet_before = jax.tree_util.tree_map(np.asarray,
                                          learner.state.params["unet"])
     roll_before = jax.tree_util.tree_map(np.asarray,
