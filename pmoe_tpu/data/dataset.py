@@ -26,6 +26,8 @@ from typing import Iterator, List, Sequence, Tuple
 import cv2
 import numpy as np
 
+from . import native
+
 __all__ = ["CarlaSeg", "CarlaSegPred", "imread", "crop_resize",
            "preprocess_measurements", "BatchLoader"]
 
@@ -107,8 +109,16 @@ class CarlaSeg:
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         i = self.indices[index]
-        img = crop_resize(imread(self.img_address[i]), self.crop, self.resize)
-        mask = crop_resize(imread(self.mask_address[i]), self.crop, self.resize)
+        if native.available():
+            img = native.ingest_batch([self.img_address[i]], self.crop,
+                                      self.resize)[0]
+            mask = native.ingest_batch([self.mask_address[i]], self.crop,
+                                       self.resize, channels=1)[0]
+        else:
+            img = crop_resize(imread(self.img_address[i]), self.crop,
+                              self.resize)
+            mask = crop_resize(imread(self.mask_address[i]), self.crop,
+                               self.resize)
         return img.astype(np.uint8), mask.astype(np.int32)
 
 
@@ -162,19 +172,28 @@ class CarlaSegPred:
 
     def __getitem__(self, index: int):
         i = self.indices[index]
-        imgs = np.stack([
-            crop_resize(imread(a), self.crop, self.resize)
-            for a in self.img_address[i]
-        ]).astype(np.uint8)                                   # (T, H, W, 3)
+        if native.available():
+            # C++ thread-pool decode of the whole frame window at once
+            imgs = native.ingest_batch(self.img_address[i], self.crop,
+                                       self.resize)
+        else:
+            imgs = np.stack([
+                crop_resize(imread(a), self.crop, self.resize)
+                for a in self.img_address[i]
+            ]).astype(np.uint8)                               # (T, H, W, 3)
         if self.load_measurements:
             with open(self.measurements[i]) as f:
                 meas = json.load(f)
             return imgs, preprocess_measurements(
                 meas, self.speed_factor, self.n_commands)
-        masks = np.stack([
-            crop_resize(imread(a), self.crop, self.resize)
-            for a in self.mask_address[i]
-        ]).astype(np.int32)                                   # (T', H, W)
+        if native.available():
+            masks = native.ingest_batch(self.mask_address[i], self.crop,
+                                        self.resize, channels=1).astype(np.int32)
+        else:
+            masks = np.stack([
+                crop_resize(imread(a), self.crop, self.resize)
+                for a in self.mask_address[i]
+            ]).astype(np.int32)                               # (T', H, W)
         return imgs, masks
 
 

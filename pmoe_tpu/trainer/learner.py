@@ -30,6 +30,7 @@ from ..data.dataset import BatchLoader
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils import (EarlyStopping, get_conf, init_logger, load_checkpoint,
                      save_checkpoint, to_dict, graft)
+from ..utils.nn import op_counter, param_count
 from .optim import TrainState, average_batch_stats, swa_update
 
 __all__ = ["BaseLearner"]
@@ -200,6 +201,7 @@ class BaseLearner:
         if self.state.swa_params is not None:
             self.recalibrate_swa_bn()
             self.save(False, suffix="-swa")
+        self.log_op_cost()
         self.logger.end()
 
     def recalibrate_swa_bn(self, max_batches: int = 50) -> None:
@@ -219,6 +221,25 @@ class BaseLearner:
     def collect_batch_stats(self, params, batch, rng):
         """Subclass hook: forward in train mode, return new batch_stats."""
         raise NotImplementedError
+
+    def log_op_cost(self) -> None:
+        """XLA cost analysis of the eval step — GFLOPs + params at train end
+        (the reference's thop FLOPs probe, train_2.py:238-242)."""
+        try:
+            batch = self.put(next(iter(self.val_loader)))
+            args = self.eval_example_args(batch)
+            cost = op_counter(self.eval_step, self.state, *args)
+            metrics = {"gflops": cost["flops"] / 1e9,
+                       "params": param_count(self.state.params)}
+            self.logger.log_metrics(metrics, step=self.iteration)
+            print(f"[{self.stage}] {metrics['gflops']:.2f} GFLOPs/eval-batch, "
+                  f"{metrics['params'] / 1e6:.2f}M params")
+        except Exception as e:           # cost analysis is best-effort
+            print(f"[{self.stage}] op-cost probe skipped: {e}")
+
+    def eval_example_args(self, batch):
+        """Extra eval_step args beyond (state, batch); subclasses override."""
+        return (batch,)
 
 
 def _flatten_cfg(cfg, prefix=""):

@@ -208,6 +208,9 @@ class Learner(BaseLearner):
             rngs={"dropout": k1, "sample": k2})
         return updates["batch_stats"]
 
+    def eval_example_args(self, batch):
+        return (batch, jax.random.PRNGKey(0))
+
     def validate(self) -> dict:
         eval_fn = jax.jit(self.eval_step)
         total, n = 0.0, 0

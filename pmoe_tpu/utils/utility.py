@@ -29,7 +29,9 @@ def timeit(fn: Callable) -> Callable:
     def wrapper(*args, **kwargs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        out = jax.block_until_ready(out)
+        # device_get is a device->host barrier; block_until_ready alone is not
+        # sufficient on relayed runtimes (observed on the tunneled v5e).
+        out = jax.device_get(out)
         return time.perf_counter() - t0, out
 
     return wrapper
