@@ -40,8 +40,12 @@ def make_mesh(devices: Sequence | None = None, data: int | None = None,
     n = len(devices)
     if data is None:
         data = n // expert
-    if data * expert != n:
-        raise ValueError(f"mesh {data}x{expert} != {n} devices")
+    if data < 1 or data * expert != n:
+        raise ValueError(
+            f"cannot build a {data}x{expert} (data x expert) mesh from {n} "
+            f"device(s); need data*expert == n_devices with data >= 1 "
+            f"(hint: on a single-chip host, force virtual devices with "
+            f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     arr = np.asarray(devices).reshape(expert, data)
     return Mesh(arr, axis_names=("expert", "data"))
 
