@@ -3,10 +3,16 @@ from .criteria import (Criterion, CollisionTest, RouteCompletionTest,
                        TimeoutTest, CriteriaTree)
 from .statistics import (NoCrashStatisticsManager, StatisticsManager,
                          RouteRecord, PENALTY_VALUES)
+from .manager import run_episode, EpisodeResult
 from .nocrash import NoCrashEvaluator, WEATHERS, TRAFFIC_TABLES
 from .leaderboard import LeaderboardEvaluator
 from .route_indexer import RouteIndexer, RouteConfig
+from .route_parser import parse_routes_file, interpolate_route, downsample_route
+from .scenarios import ScenarioInjector, ScenarioTrigger
+from .parallel_runner import ParallelEvalRunner, EvalTask
+from .watchdog import Watchdog, GameTime
 from .view_results import view_results
+from ..sim.sensor_interface import AgentError, SensorReceivedNoData
 
 __all__ = [
     "Criterion", "CollisionTest", "RouteCompletionTest", "RunningRedLightTest",
@@ -14,4 +20,8 @@ __all__ = [
     "NoCrashStatisticsManager", "StatisticsManager", "RouteRecord",
     "PENALTY_VALUES", "NoCrashEvaluator", "WEATHERS", "TRAFFIC_TABLES",
     "LeaderboardEvaluator", "RouteIndexer", "RouteConfig", "view_results",
+    "run_episode", "EpisodeResult", "parse_routes_file", "interpolate_route",
+    "downsample_route", "ScenarioInjector", "ScenarioTrigger",
+    "ParallelEvalRunner", "EvalTask", "Watchdog", "GameTime",
+    "AgentError", "SensorReceivedNoData",
 ]

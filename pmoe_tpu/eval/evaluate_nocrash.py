@@ -1,8 +1,13 @@
 """NoCrash benchmark entry point
 (reference /root/reference/PMoE/eval/evaluate_nocrash.py + runners/nocrash_runner.py).
 
+``--workers N`` fans episodes out over N worker processes, each owning one
+backend + one jitted agent, with crash auto-restart — the Ray-actor fleet
+semantics of the reference (runners/scenario_runner.py:124) without Ray.
+
 Usage: ``python -m pmoe_tpu.eval.evaluate_nocrash --town Town01 --weather train
-[--config pmoe_tpu/conf/benchmark] [--backend fake|carla] [--resume]``
+[--config pmoe_tpu/conf/benchmark] [--backend fake|carla] [--resume]
+[--workers N]``
 """
 
 from __future__ import annotations
@@ -13,10 +18,55 @@ import sys
 from ..agents.image_agent import ImageAgent
 from ..sim.fake_carla import FakeCarlaBackend
 from ..utils import get_conf
-from .nocrash import NoCrashEvaluator
+from .nocrash import NoCrashEvaluator, TRAFFIC_TABLES
+from .parallel_runner import EvalTask, ParallelEvalRunner
 from .statistics import NoCrashStatisticsManager
 
 __all__ = ["main"]
+
+
+class _CollectingStats:
+    """In-worker stats shim: records rows instead of writing the shared CSV
+    (the parent process owns the resume-aware CSV)."""
+
+    def __init__(self):
+        self.rows = []
+
+    def log(self, *row) -> None:
+        self.rows.append(row)
+
+    def is_finished(self, *a) -> bool:
+        return False
+
+    def close(self) -> None:
+        pass
+
+
+class _EpisodeWorkerBuilder:
+    """Picklable per-worker bootstrap for the spawn-based parallel runner."""
+
+    def __init__(self, backend_kind: str, town: str, config: str,
+                 max_ticks):
+        self.backend_kind = backend_kind
+        self.town = town
+        self.config = config
+        self.max_ticks = max_ticks
+
+    def __call__(self, worker_id: int):
+        cfg = get_conf(self.config)
+        backend = make_backend(self.backend_kind, self.town, cfg)
+        table = TRAFFIC_TABLES.get(self.town, TRAFFIC_TABLES["Town01"])
+
+        def episode_fn(task: EvalTask):
+            collect = _CollectingStats()
+            ev = NoCrashEvaluator(backend, collect, max_ticks=self.max_ticks,
+                                  verbose=False)
+            ev._run_episode(lambda: ImageAgent(cfg), task.town,
+                            task.traffic_idx, task.weather,
+                            (task.start_idx, task.target_idx), table)
+            return collect.rows[-1]
+
+        return episode_fn
 
 
 def make_backend(kind: str, town: str, cfg):
@@ -47,6 +97,8 @@ def main(argv=None):
     parser.add_argument("--max-ticks", type=int, default=None)
     parser.add_argument("--routes", type=int, default=None,
                         help="limit the number of routes")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="parallel episode workers (Ray-fleet analog)")
     args = parser.parse_args(argv)
 
     cfg = get_conf(args.config)
@@ -57,6 +109,25 @@ def main(argv=None):
                                  max_ticks=args.max_ticks)
     if args.routes is not None:
         evaluator.routes = evaluator.routes[:args.routes]
+
+    if args.workers > 1:
+        tasks = [EvalTask(args.town, traffic, weather, s, t)
+                 for traffic in range(3)
+                 for (s, t) in evaluator.routes
+                 for weather in evaluator.weathers
+                 if not stats.is_finished(args.town, (s, t), weather, traffic)]
+        runner = ParallelEvalRunner(
+            _EpisodeWorkerBuilder(args.backend, args.town, args.config,
+                                  args.max_ticks),
+            num_workers=args.workers)
+        try:
+            for _task, row in runner.run(tasks):
+                stats.log(*row)
+        finally:
+            stats.close()
+            backend.close()
+        return
+
     try:
         evaluator.run(lambda: ImageAgent(cfg))
     finally:

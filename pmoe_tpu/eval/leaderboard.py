@@ -15,8 +15,9 @@ from typing import List
 from ..sim.interface import DrivingBackend, SIM_DT
 from .criteria import (BlockedTest, CollisionTest, CriteriaTree, InRouteTest,
                        RouteCompletionTest, RunningRedLightTest, TimeoutTest)
-from .nocrash import build_input_data
+from .manager import run_episode
 from .route_indexer import RouteIndexer
+from .scenarios import ScenarioInjector
 from .statistics import StatisticsManager
 
 __all__ = ["LeaderboardEvaluator"]
@@ -26,7 +27,9 @@ class LeaderboardEvaluator:
     def __init__(self, backend: DrivingBackend, stats: StatisticsManager,
                  checkpoint_path: str = "./simulation_results.json",
                  n_vehicles: int = 0, n_pedestrians: int = 0,
-                 max_ticks: int | None = None, verbose: bool = True):
+                 max_ticks: int | None = None, verbose: bool = True,
+                 inject_scenarios: bool = True, scenario_spacing: float = 80.0,
+                 sensor_hub=None):
         self.backend = backend
         self.stats = stats
         self.checkpoint_path = checkpoint_path
@@ -34,6 +37,9 @@ class LeaderboardEvaluator:
         self.n_pedestrians = n_pedestrians
         self.max_ticks = max_ticks
         self.verbose = verbose
+        self.inject_scenarios = inject_scenarios
+        self.scenario_spacing = scenario_spacing
+        self.sensor_hub = sensor_hub        # injectable for failure tests
 
     def run(self, agent_factory, route_indexer: RouteIndexer,
             resume: bool = False) -> dict:
@@ -51,8 +57,16 @@ class LeaderboardEvaluator:
             print(f"[leaderboard] global: {glob['scores']}")
         return glob
 
+    def _trace(self, cfg):
+        """Resolve the dense route: explicit XML waypoints when the config
+        carries them (reference route_parser.py), else spawn-point tracing."""
+        if cfg.waypoints is not None:
+            from .route_parser import interpolate_route
+            return interpolate_route(cfg.waypoints)
+        return self.backend.trace_route(cfg.start_idx, cfg.target_idx)
+
     def _run_route(self, agent_factory, cfg) -> None:
-        trace = self.backend.trace_route(cfg.start_idx, cfg.target_idx)
+        trace = self._trace(cfg)
         frame = self.backend.reset(trace, weather=1,
                                    n_vehicles=self.n_vehicles,
                                    n_pedestrians=self.n_pedestrians,
@@ -69,17 +83,14 @@ class LeaderboardEvaluator:
             BlockedTest(),
             TimeoutTest(trace),
         ])
+        injector = (ScenarioInjector(trace, spacing=self.scenario_spacing,
+                                     seed=cfg.index)
+                    if self.inject_scenarios else None)
 
-        ticks = 0
-        while True:
-            control = agent.run_step(build_input_data(frame), frame.timestamp)
-            frame = self.backend.tick(control)
-            criteria.update(self.backend.ego_state(), frame)
-            ticks += 1
-            if criteria.should_terminate:
-                break
-            if self.max_ticks is not None and ticks >= self.max_ticks:
-                break
+        result = run_episode(self.backend, agent, criteria, frame,
+                             max_ticks=self.max_ticks, injector=injector,
+                             sensor_hub=self.sensor_hub)
+        ticks = result.ticks
         agent.destroy()
 
         rc = criteria.get("RouteCompletionTest")
@@ -96,12 +107,16 @@ class LeaderboardEvaluator:
         events["route_timeout"] = criteria.get("TimeoutTest").events
         events["route_dev"] = criteria.get("InRouteTest").events
 
+        status = ("Failed - Agent crashed" if result.crashed
+                  else "Completed" if rc.actual_value == 100.0 else "Failed")
         record = self.stats.compute_route_statistics(
             cfg.index, float(rc.actual_value), events,
-            duration_game=ticks * SIM_DT,
-            status="Completed" if rc.actual_value == 100.0 else "Failed")
+            duration_game=ticks * SIM_DT, status=status)
         if self.verbose:
+            fired = (f" scenarios={result.fired_scenarios}"
+                     if result.fired_scenarios else "")
             print(f"[leaderboard] {cfg.name} rep{cfg.repetition_index}: "
                   f"composed={record.scores['score_composed']:.1f} "
                   f"route={record.scores['score_route']:.1f} "
-                  f"penalty={record.scores['score_penalty']:.2f}")
+                  f"penalty={record.scores['score_penalty']:.2f} "
+                  f"status={status}{fired}")

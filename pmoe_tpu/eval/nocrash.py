@@ -25,6 +25,7 @@ from typing import List, Sequence, Tuple
 from ..sim.interface import DrivingBackend, SensorFrame, SIM_DT
 from .criteria import (BlockedTest, CollisionTest, CriteriaTree, InRouteTest,
                        RouteCompletionTest, RunningRedLightTest, TimeoutTest)
+from .manager import run_episode
 from .statistics import NoCrashStatisticsManager
 
 __all__ = ["NoCrashEvaluator", "WEATHERS", "TRAFFIC_TABLES",
@@ -43,13 +44,16 @@ TRAFFIC_TABLES = {
 
 
 def build_input_data(frame: SensorFrame) -> dict:
-    """Assemble the agent-facing input_data dict the way the leaderboard
-    SensorInterface does (sensor id -> (frame, payload)); cameras deliver BGR."""
+    """Assemble the agent-facing input_data dict synchronously (sensor id ->
+    (frame, payload)); cameras deliver BGR. The production episode loop goes
+    through the blocking SensorHub engine instead (pmoe_tpu.sim.
+    sensor_interface); this fast path serves the RL env and offline tools."""
     data = {}
     if frame.rgb is not None:
         data["Narrow_RGB"] = (frame.frame, frame.rgb[..., ::-1])
     data["EGO"] = (frame.frame, {"spd": frame.speed})
     data["GPS"] = (frame.frame, frame.gnss)
+    data["COMPASS"] = (frame.frame, frame.compass)
     data["COLLISION"] = (frame.frame, frame.collision is not None)
     return data
 
@@ -58,9 +62,11 @@ class NoCrashEvaluator:
     def __init__(self, backend: DrivingBackend, stats: NoCrashStatisticsManager,
                  weather_group: str = "train",
                  routes: Sequence[Tuple[int, int]] | None = None,
-                 max_ticks: int | None = None, verbose: bool = True):
+                 max_ticks: int | None = None, verbose: bool = True,
+                 sensor_hub=None):
         self.backend = backend
         self.stats = stats
+        self.sensor_hub = sensor_hub        # injectable for failure tests
         self.weathers = (TRAIN_WEATHERS if weather_group == "train"
                          else TEST_WEATHERS)
         n_spawn = len(backend.spawn_points())
@@ -108,27 +114,24 @@ class NoCrashEvaluator:
         ])
 
         t0 = time.perf_counter()
-        ticks = 0
-        while True:
-            control = agent.run_step(build_input_data(frame), frame.timestamp)
-            frame = self.backend.tick(control)
-            criteria.update(self.backend.ego_state(), frame)
-            ticks += 1
-            if criteria.should_terminate:
-                break
-            if self.max_ticks is not None and ticks >= self.max_ticks:
-                break
-
+        result = run_episode(self.backend, agent, criteria, frame,
+                             max_ticks=self.max_ticks,
+                             sensor_hub=self.sensor_hub)
         agent.destroy()
         rc = criteria.get("RouteCompletionTest")
         lights = criteria.get("RunningRedLightTest")
-        duration_game = ticks * SIM_DT
+        duration_game = result.ticks * SIM_DT
+        # an agent crash fails the episode with the completion it reached
+        # (reference nocrash_evaluator.py:305-318 AgentError branch)
         self.stats.log(town, traffic_idx, weather, start_idx, target_idx,
                        float(rc.actual_value), int(lights.actual_value),
                        duration_game)
         if self.verbose:
             wall = time.perf_counter() - t0
+            status = (f"AGENT-ERROR({result.agent_error})"
+                      if result.crashed else "ok")
             print(f"[nocrash] {town} t{traffic_idx} w{weather} "
                   f"{start_idx}->{target_idx}: RC={rc.actual_value:.1f}% "
                   f"lights={lights.actual_value} game={duration_game:.1f}s "
-                  f"wall={wall:.1f}s ({ticks / max(wall, 1e-9):.1f} fps)")
+                  f"wall={wall:.1f}s ({result.ticks / max(wall, 1e-9):.1f} fps) "
+                  f"{status}")

@@ -12,23 +12,34 @@ __all__ = ["RouteIndexer", "RouteConfig"]
 
 class RouteConfig:
     def __init__(self, route_id: str, start_idx: int, target_idx: int,
-                 town: str = "Town01", repetition_index: int = 0):
+                 town: str = "Town01", repetition_index: int = 0,
+                 waypoints=None):
         self.name = route_id
         self.start_idx = start_idx
         self.target_idx = target_idx
         self.town = town
         self.repetition_index = repetition_index
+        self.waypoints = waypoints      # explicit XML waypoints, else spawn idx
         self.index = 0
 
 
 class RouteIndexer:
-    def __init__(self, routes: List[tuple], repetitions: int = 1,
+    """Accepts either (start_idx, target_idx) spawn pairs or parsed
+    :class:`pmoe_tpu.eval.route_parser.RouteDescription` objects (XML routes,
+    reference route_parser.py:23-58)."""
+
+    def __init__(self, routes: List, repetitions: int = 1,
                  town: str = "Town01"):
         self._configs: List[RouteConfig] = []
         self._index = 0
         for rep in range(repetitions):
-            for i, (s, t) in enumerate(routes):
-                cfg = RouteConfig(f"RouteScenario_{i}", s, t, town, rep)
+            for i, r in enumerate(routes):
+                if isinstance(r, tuple):
+                    cfg = RouteConfig(f"RouteScenario_{i}", r[0], r[1], town,
+                                      rep)
+                else:
+                    cfg = RouteConfig(f"RouteScenario_{r.route_id}", -1, -1,
+                                      r.town, rep, waypoints=r.waypoints)
                 self._configs.append(cfg)
         for i, cfg in enumerate(self._configs):
             cfg.index = i

@@ -52,6 +52,10 @@ class ScenarioInjector:
 
     def update(self, backend, ego_xy) -> List[str]:
         """Fire triggers the ego is within 20 m of; returns fired kinds."""
+        if not hasattr(backend, "_npcs"):
+            # real-CARLA bridge: hazards come from the server-side scenario
+            # machinery, not client-side injection
+            return []
         from ..sim.fake_carla import _NPC
 
         fired = []

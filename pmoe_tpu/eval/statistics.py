@@ -159,6 +159,12 @@ class StatisticsManager:
         return {"scores": glob, "infractions": infractions,
                 "total_routes": n, "finished_routes": len(self._registry)}
 
+    def insert_record(self, record_dict: dict) -> None:
+        """Merge a route record computed in a worker process (parallel eval)."""
+        record = RouteRecord.from_dict(record_dict)
+        self.set_route(record.route_id, record.index)
+        self._registry[record.index] = record
+
     def save(self, checkpoint_path: str) -> None:
         Path(checkpoint_path).parent.mkdir(parents=True, exist_ok=True)
         payload = {"_checkpoint": {

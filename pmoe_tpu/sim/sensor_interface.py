@@ -1,0 +1,156 @@
+"""Sensor collection engine with the leaderboard's blocking semantics.
+
+Functional rebuild of the reference SensorInterface
+(/root/reference/PMoE/leaderboard/leaderboard/envs/sensor_interface.py):
+
+* tag-keyed queue; ``get_data()`` blocks until EVERY registered sensor has
+  delivered a payload for the pending frame, raising
+  :class:`SensorReceivedNoData` after a timeout (sensor_interface.py:398-440);
+* threaded pseudo-sensor readers for speedometer and collision
+  (BaseReader poll loop :202-239, SpeedometerReader :261-319,
+  CollisionReader :157-200) — here event-driven per sim frame so the engine
+  keeps up with a faster-than-realtime fake backend while preserving the
+  asynchronous delivery/failure modes;
+* the evaluator-facing exception taxonomy (nocrash_evaluator.py:305-354):
+  :class:`AgentError` aborts the episode and continues to the next route,
+  :class:`SensorReceivedNoData` (and any other simulator error) aborts the run.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, List, Optional
+
+from .interface import SensorFrame
+
+__all__ = ["SensorReceivedNoData", "AgentError", "SensorInterface",
+           "PseudoSensorReader", "SensorHub"]
+
+
+class SensorReceivedNoData(RuntimeError):
+    """A registered sensor did not deliver data within the timeout."""
+
+
+class AgentError(RuntimeError):
+    """The agent's run_step crashed; the episode fails but the run continues."""
+
+
+class SensorInterface:
+    """Tag-keyed collection queue (reference sensor_interface.py:398-440)."""
+
+    def __init__(self, timeout: float = 10.0):
+        self._tags: List[str] = []
+        self._queue: "queue.Queue" = queue.Queue()
+        self._timeout = timeout
+
+    def register(self, tag: str) -> None:
+        if tag in self._tags:
+            raise ValueError(f"duplicated sensor tag {tag!r}")
+        self._tags.append(tag)
+
+    @property
+    def tags(self) -> List[str]:
+        return list(self._tags)
+
+    def update_sensor(self, tag: str, frame: int, payload) -> None:
+        if tag not in self._tags:
+            raise ValueError(f"sensor {tag!r} was never registered")
+        self._queue.put((tag, frame, payload))
+
+    def get_data(self) -> Dict[str, tuple]:
+        """Block until every registered tag delivered one payload; returns
+        {tag: (frame, payload)}. Raises SensorReceivedNoData on timeout."""
+        data: Dict[str, tuple] = {}
+        try:
+            while len(data) < len(self._tags):
+                tag, frame, payload = self._queue.get(True, self._timeout)
+                data[tag] = (frame, payload)
+        except queue.Empty:
+            missing = sorted(set(self._tags) - set(data))
+            raise SensorReceivedNoData(
+                f"sensor(s) {missing} took longer than {self._timeout}s to "
+                f"send their data") from None
+        return data
+
+
+class PseudoSensorReader:
+    """Event-driven reader thread: wakes on each sim frame, reads via
+    ``read_fn(frame)``, pushes into the interface (reference BaseReader
+    :202-239). ``kill()`` simulates a dead sensor (stops delivering without
+    deregistering) — used by failure-injection tests."""
+
+    def __init__(self, iface: SensorInterface, tag: str,
+                 read_fn: Callable[[SensorFrame], object]):
+        self._iface = iface
+        self._tag = tag
+        self._read_fn = read_fn
+        self._wake = threading.Event()
+        self._pending: Optional[SensorFrame] = None
+        self._stop = False
+        self._dead = False
+        iface.register(tag)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def notify(self, frame: SensorFrame) -> None:
+        self._pending = frame
+        self._wake.set()
+
+    def _loop(self) -> None:
+        while not self._stop:
+            if not self._wake.wait(timeout=0.5):
+                continue
+            self._wake.clear()
+            frame = self._pending
+            if frame is None or self._dead:
+                continue
+            self._iface.update_sensor(self._tag, frame.frame,
+                                      self._read_fn(frame))
+
+    def kill(self) -> None:
+        self._dead = True
+
+    def stop(self) -> None:
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=2)
+
+
+class SensorHub:
+    """Wires a backend's per-tick :class:`SensorFrame` into the blocking
+    interface: direct sensors (camera/GNSS/compass) are pushed synchronously —
+    the analog of carla sensor callbacks — while speedometer and collision go
+    through pseudo-sensor reader threads (reference :241-319)."""
+
+    def __init__(self, timeout: float = 10.0, with_camera: bool = True):
+        self.iface = SensorInterface(timeout=timeout)
+        self.with_camera = with_camera
+        if with_camera:
+            self.iface.register("Narrow_RGB")
+        self.iface.register("GPS")
+        self.iface.register("COMPASS")
+        self.readers = [
+            PseudoSensorReader(self.iface, "EGO",
+                               lambda f: {"spd": f.speed}),
+            PseudoSensorReader(self.iface, "COLLISION",
+                               lambda f: f.collision is not None),
+        ]
+
+    def on_frame(self, frame: SensorFrame) -> None:
+        """Dispatch one synchronous tick's sensor payloads."""
+        if self.with_camera and frame.rgb is not None:
+            # cameras deliver BGR (reference CallBack image parser)
+            self.iface.update_sensor("Narrow_RGB", frame.frame,
+                                     frame.rgb[..., ::-1])
+        self.iface.update_sensor("GPS", frame.frame, frame.gnss)
+        self.iface.update_sensor("COMPASS", frame.frame, frame.compass)
+        for r in self.readers:
+            r.notify(frame)
+
+    def get_data(self) -> Dict[str, tuple]:
+        return self.iface.get_data()
+
+    def stop(self) -> None:
+        for r in self.readers:
+            r.stop()

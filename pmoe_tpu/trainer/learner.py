@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataset import BatchLoader
+from ..data.prefetch import DevicePrefetcher
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils import (EarlyStopping, get_conf, init_logger, load_checkpoint,
                      save_checkpoint, to_dict, graft)
@@ -158,8 +159,11 @@ class BaseLearner:
         for self.epoch in range(self.epoch + 1, self.epochs + 1):
             t0 = time.perf_counter()
             epoch_loss, n_batches = 0.0, 0
-            for batch in self.train_loader:
-                batch = self.put(batch)
+            # background thread assembles + device_puts the next uint8 batch
+            # while the current step runs (replaces DataLoader workers +
+            # pin_memory; SURVEY §2.9 item 3)
+            for batch in DevicePrefetcher(self.train_loader, mesh=self.mesh,
+                                          depth=2):
                 self.state, metrics = step_fn(
                     self.state, batch, self.next_rng(),
                     jnp.asarray(self.iteration, jnp.float32))

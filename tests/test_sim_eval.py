@@ -27,7 +27,12 @@ class FollowAgent(AutonomousAgent):
             self.waypointer = Waypointer(self._global_plan, gps,
                                          threshold_after=25.0,
                                          threshold_before=25.0)
-        wx, wy, _cmd = self.waypointer.tick(gps)
+        self.waypointer.tick(gps)
+        # pure pursuit: aim at the node AFTER the consumed checkpoint (the
+        # checkpoint itself is at/behind the ego once consumed)
+        nxt = min(self.waypointer.current_idx + 1,
+                  len(self.waypointer.global_plan) - 1)
+        wx, wy, _cmd = self.waypointer.global_plan[max(nxt, 0)]
         x, y = self.waypointer.latlon_to_xy(gps[0], gps[1])
         # steer toward the next checkpoint
         import math
@@ -40,12 +45,6 @@ class FollowAgent(AutonomousAgent):
         return control
 
 
-def _patched_input(backend, frame):
-    from pmoe_tpu.eval.nocrash import build_input_data
-
-    d = build_input_data(frame)
-    d["COMPASS"] = (frame.frame, frame.compass)
-    return d
 
 
 def test_backend_physics_basics():
@@ -105,14 +104,7 @@ def test_nocrash_episode_loop(tmp_path):
     stats = NoCrashStatisticsManager(str(tmp_path), "Town01", "train")
     ev = NoCrashEvaluator(backend, stats, routes=[(0, 1)], max_ticks=400)
     ev.weathers = [1]
-    # monkeypatch input builder to include compass for the scripted agent
-    import pmoe_tpu.eval.nocrash as nc
-    orig = nc.build_input_data
-    nc.build_input_data = lambda f: _patched_input(backend, f)
-    try:
-        ev.run(lambda: FollowAgent(None))
-    finally:
-        nc.build_input_data = orig
+    ev.run(lambda: FollowAgent(None))
     stats.close()
     csv_path = tmp_path / "Town01_train.csv"
     lines = csv_path.read_text().strip().splitlines()
@@ -130,14 +122,8 @@ def test_straight_route_completes(tmp_path):
     stats = NoCrashStatisticsManager(str(tmp_path), "Town01", "train")
     ev = NoCrashEvaluator(backend, stats, routes=[(0, 2)], max_ticks=3000)
     ev.weathers = [1]
-    import pmoe_tpu.eval.nocrash as nc
-    orig = nc.build_input_data
-    nc.build_input_data = lambda f: _patched_input(backend, f)
-    try:
-        ev._run_episode(lambda: FollowAgent(None), "Town01", 0, 1, (0, 2),
-                        {"cars": [0, 0, 0], "peds": [0, 0, 0]})
-    finally:
-        nc.build_input_data = orig
+    ev._run_episode(lambda: FollowAgent(None), "Town01", 0, 1, (0, 2),
+                    {"cars": [0, 0, 0], "peds": [0, 0, 0]})
     stats.close()
     import csv as csvmod
     with open(tmp_path / "Town01_train.csv") as f:
@@ -167,13 +153,7 @@ def test_leaderboard_evaluator_runs(tmp_path):
                               checkpoint_path=str(tmp_path / "sim.json"),
                               max_ticks=200, verbose=False)
     indexer = RouteIndexer([(0, 1), (2, 3)], repetitions=1)
-    import pmoe_tpu.eval.leaderboard as lb
-    orig = lb.build_input_data
-    lb.build_input_data = lambda f: _patched_input(backend, f)
-    try:
-        glob = ev.run(lambda: FollowAgent(None), indexer)
-    finally:
-        lb.build_input_data = orig
+    glob = ev.run(lambda: FollowAgent(None), indexer)
     assert glob["finished_routes"] == 2
     assert (tmp_path / "sim.json").exists()
 
@@ -187,3 +167,137 @@ def test_view_results(tmp_path, capsys):
     assert "Town01" in out and "50.0%" in out
     out2 = view_results(str(tmp_path), "Lights Ran")
     assert "per hour" in out2
+
+
+# ---------------------------------------------------------------------------
+# sensor-interface engine, exception taxonomy, scenario injection, XML routes
+# ---------------------------------------------------------------------------
+
+def test_sensor_interface_blocking_and_timeout():
+    from pmoe_tpu.sim.sensor_interface import (SensorInterface,
+                                               SensorReceivedNoData)
+
+    iface = SensorInterface(timeout=0.2)
+    iface.register("A")
+    iface.register("B")
+    iface.update_sensor("A", 1, "a")
+    iface.update_sensor("B", 1, "b")
+    data = iface.get_data()
+    assert data == {"A": (1, "a"), "B": (1, "b")}
+    iface.update_sensor("A", 2, "a2")      # B never delivers again
+    with pytest.raises(SensorReceivedNoData, match="B"):
+        iface.get_data()
+
+
+def test_agent_crash_fails_episode_but_run_continues(tmp_path):
+    """AgentError taxonomy (reference nocrash_evaluator.py:305-318): a crashing
+    agent fails its episode; the evaluator moves on to the next one."""
+
+    class CrashingAgent(FollowAgent):
+        def run_step(self, input_data, timestamp):
+            if input_data["EGO"][1]["spd"] > 2.0:
+                raise RuntimeError("model blew up")
+            return super().run_step(input_data, timestamp)
+
+    backend = FakeCarlaBackend(render=False)
+    stats = NoCrashStatisticsManager(str(tmp_path), "Town01", "train")
+    ev = NoCrashEvaluator(backend, stats, routes=[(0, 1), (0, 2)],
+                          max_ticks=300, verbose=False)
+    ev.weathers = [1]
+    ev.run(lambda: CrashingAgent(None))
+    stats.close()
+    import csv as csvmod
+    with open(tmp_path / "Town01_train.csv") as f:
+        rows = list(csvmod.DictReader(f))
+    # 3 traffic levels x 2 routes x 1 weather — every episode logged despite
+    # the agent crashing in each
+    assert len(rows) == 6
+    assert all(float(r["route_completion"]) < 100.0 for r in rows)
+
+
+def test_sensor_loss_aborts_run():
+    """A dead pseudo-sensor raises SensorReceivedNoData out of the episode
+    loop (reference sensor_interface.py:434-438 -> run abort)."""
+    from pmoe_tpu.eval import run_episode, SensorReceivedNoData
+    from pmoe_tpu.eval.criteria import CriteriaTree, RouteCompletionTest
+    from pmoe_tpu.sim.sensor_interface import SensorHub
+
+    backend = FakeCarlaBackend(render=False)
+    route = backend.trace_route(0, 2)
+    frame = backend.reset(route)
+    hub = SensorHub(timeout=0.3, with_camera=False)
+    steps = {"n": 0}
+
+    class KillerAgent(AutonomousAgent):
+        def run_step(self, input_data, timestamp):
+            steps["n"] += 1
+            if steps["n"] == 5:
+                hub.readers[0].kill()       # speedometer dies mid-episode
+            return VehicleControl(throttle=0.5)
+
+    agent = KillerAgent(None)
+    agent.set_global_plan(route.gps_plan())
+    criteria = CriteriaTree([RouteCompletionTest(route)])
+    try:
+        with pytest.raises(SensorReceivedNoData):
+            run_episode(backend, agent, criteria, frame, max_ticks=100,
+                        sensor_hub=hub)
+        assert steps["n"] == 5
+    finally:
+        hub.stop()
+
+
+def test_scenario_injection_spawns_hazards():
+    """Triggers fire as the ego passes them and add NPCs the collision
+    criterion can hit (reference route_scenario.py:362-415)."""
+    from pmoe_tpu.eval import ScenarioInjector, run_episode
+    from pmoe_tpu.eval.criteria import CollisionTest, CriteriaTree, \
+        RouteCompletionTest
+
+    backend = FakeCarlaBackend(render=False)
+    route = backend.trace_route(0, 3)       # 300 m straight: >= 3 triggers
+    frame = backend.reset(route)
+    injector = ScenarioInjector(route, spacing=80.0, seed=1)
+    assert len(injector.triggers) >= 3
+
+    class BlindAgent(FollowAgent):
+        pass                                 # follows route, ignores hazards
+
+    agent = BlindAgent(None)
+    agent.set_global_plan(route.gps_plan())
+    criteria = CriteriaTree([CollisionTest(), RouteCompletionTest(route)])
+    n_npc_before = len(backend._npcs)
+    result = run_episode(backend, agent, criteria, frame, max_ticks=2500,
+                         injector=injector)
+    assert result.fired_scenarios            # at least one trigger fired
+    assert len(backend._npcs) > n_npc_before
+
+
+def test_leaderboard_xml_routes_end_to_end(tmp_path):
+    """The shipped route XML drives the leaderboard benchmark (reference
+    eval/evaluate.py:12-15 hardcodes a routes XML)."""
+    from pmoe_tpu.eval import parse_routes_file
+    from pmoe_tpu.eval.evaluate import DEFAULT_ROUTES_FILE
+
+    routes = parse_routes_file(DEFAULT_ROUTES_FILE)
+    assert len(routes) >= 4
+    backend = FakeCarlaBackend(render=False)
+    stats = StatisticsManager()
+    ev = LeaderboardEvaluator(backend, stats,
+                              checkpoint_path=str(tmp_path / "sim.json"),
+                              max_ticks=250, verbose=False,
+                              inject_scenarios=True)
+    indexer = RouteIndexer(routes[:2], repetitions=1)
+    glob = ev.run(lambda: FollowAgent(None), indexer)
+    assert glob["finished_routes"] == 2
+    # the dense trace really came from the XML waypoints
+    rec = stats._registry[0]
+    assert rec.route_id == "RouteScenario_0"
+
+
+def test_single_route_filter():
+    from pmoe_tpu.eval import parse_routes_file
+    from pmoe_tpu.eval.evaluate import DEFAULT_ROUTES_FILE
+
+    only = parse_routes_file(DEFAULT_ROUTES_FILE, single_route="2")
+    assert len(only) == 1 and only[0].route_id == "2"
