@@ -1,17 +1,20 @@
 """Performance benchmark — prints ONE JSON line for the driver.
 
-Measures on the attached accelerator:
-* stage-2/3-style train steps/sec/chip: the full jitted MoE train step
-  (uint8 batch -> on-device super_hard augmentation -> 3-expert stacked
-  forward/backward @ 4x224x224, batch 64 -> adam update), the reference's
-  north-star training configuration (BASELINE.json config #4);
-* p50 per-frame action-inference latency: the closed-loop agent step (one
-  uint8 frame upload -> ring-buffer roll -> normalize -> model.sample),
-  matching the NoCrash agent hot loop (BASELINE.json config #5).
+Measures on the attached accelerator (BASELINE.json metrics):
 
-vs_baseline: the reference publishes no numbers (BASELINE.json: published {});
-vs_baseline reports speedup vs a torch-CPU-measured proxy unavailable here, so
-we emit 1.0 until a reference measurement exists.
+* PRIMARY — stage-3 DDPG learn steps/sec/chip: the full jitted DDPG update
+  (target-actor fwd, critic TD fit, actor ascent through the frozen PMoE —
+  3-expert MoE + 6-step PU-Net rollout @ 4x224x224 — soft target updates) at
+  the BASELINE batch 64, bf16 compute (BASELINE config #4).
+* p50 per-frame action-inference latency: the closed-loop agent step (one
+  uint8 frame upload -> device ring buffer -> normalize -> model.sample),
+  the NoCrash agent hot loop (BASELINE config #5).
+* stage-2 MoE train steps/s (kept for round-over-round comparability) with
+  MFU from XLA cost analysis.
+* closed-loop NoCrash fps: ImageAgent + fake backend + sensor hub, whole-loop.
+
+vs_baseline: the reference publishes no numbers (BASELINE.json published {});
+1.0 is reported until a reference measurement exists.
 """
 
 from __future__ import annotations
@@ -25,22 +28,46 @@ import numpy as np
 import optax
 
 from pmoe_tpu.models import get_model
+from pmoe_tpu.models.rl_agent import Agent
 from pmoe_tpu.ops.augment import augment
 from pmoe_tpu.trainer.losses import moe_loss
-from pmoe_tpu.utils.nn import jit_init
+from pmoe_tpu.utils.nn import jit_init, op_counter
 
-BATCH = 64
+BATCH2 = 64          # stage-2 batch (conf/stage_2.yaml)
+BATCH3 = 64          # stage-3 replay batch (BASELINE config #4)
 N_EXPERTS = 3
 COMMANDS = 6
 
+# v5e peak: 197 TFLOP/s bf16 per chip
+PEAK_FLOPS = {"TPU v5": 197e12, "TPU v4": 275e12, "cpu": 1e12}
 
-def _cfg(dtype_tag):
-    mlp = lambda dims, act="relu", l_act=False: {
-        "dims": dims, "act": act, "l_act": l_act, "bn": False, "dropout": 0.0}
+
+def peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS.items():
+        if k.lower() in str(kind).lower():
+            return v
+    return 197e12
+
+
+def health_check() -> None:
+    """Tiny matmul first: verifies the (possibly tunneled) device answers
+    before long compiles are committed."""
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    y = jax.jit(lambda a: a @ a)(x)
+    assert np.isfinite(float(y.sum()))
+
+
+def mlp(dims, act="relu", l_act=False, dropout=0.0):
+    return {"dims": dims, "act": act, "l_act": l_act, "bn": False,
+            "dropout": dropout}
+
+
+def _moe_cfg(n_commands=COMMANDS):
     return {
         "type": "moe", "n_experts": N_EXPERTS,
         "speed_encoder": mlp([1, 512, 512]),
-        "command_encoder": mlp([COMMANDS, 512, 512]),
+        "command_encoder": mlp([n_commands, 512, 512]),
         "speed_prediction": mlp([1536, 512, 512, 1]),
         "action_head": mlp([1536, 512, 512], "elu", True),
         "backbone": {"type": "rgb", "n_frames": 4,
@@ -49,13 +76,80 @@ def _cfg(dtype_tag):
     }
 
 
-def bench_train_step():
-    model = get_model(_cfg("bf16"), dtype=jnp.bfloat16)
+def _stage3_cfg(n_commands=4):
+    """conf/stage_3.yaml model block, checkpoint paths elided (bench inits
+    randomly; the graft step is IO, not compute)."""
+    actor = dict(_moe_cfg(n_commands), type="pmoe",
+                 exclude_freeze=["model_weights", "alpha"],
+                 punet={"past_frames": 4, "future_frames": 6,
+                        "in_features": 3, "num_classes": 23, "gamma": 2,
+                        "b": 1, "unet_inter_repr": False,
+                        "model_name": "unet", "model_path": ""},
+                 pmoe={"moe_dir": "bench-random-init", "punet_dir": ""},
+                 lr=1e-5)
+    critic = {
+        "lr": 1e-3,
+        "backbone": actor["backbone"],
+        "speed_encoder": mlp([1, 128, 128]),
+        "command_encoder": mlp([n_commands, 128, 128]),
+        "action_encoder": mlp([2, 128, 128]),
+        "value_prediction": mlp([896, 512, 1]),
+    }
+    return {"tau": 0.001, "buffer_size": BATCH3 + 8, "batch_size": BATCH3,
+            "gamma": 0.9,
+            "OU": {"mu": [0.0, 0.0], "sigma": [0.3, 0.1],
+                   "theta": [0.6, 0.15]},
+            "actor": actor, "critic": critic}
+
+
+def bench_stage3():
+    """DDPG learn steps/s + FLOPs/step (the north-star training metric)."""
+    n_commands = 4
+    obs = (jnp.zeros((2, 4, 224, 224, 3), jnp.float32),
+           jnp.zeros((2, 1), jnp.float32),
+           jnp.zeros((2, n_commands), jnp.float32))
+    agent = Agent(_stage3_cfg(n_commands), obs, rng=jax.random.PRNGKey(0),
+                  dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 224, 224, 3), np.uint8)
+    for _ in range(BATCH3 + 1):
+        agent.remember(frames, np.float32([1.0]),
+                       np.eye(n_commands, dtype=np.float32)[0],
+                       np.float32([0.1, 0.5]), np.float32(1.0),
+                       frames, np.float32([1.1]),
+                       np.eye(n_commands, dtype=np.float32)[0],
+                       np.float32(0.0))
+
+    metrics = agent.learn()            # compile + first step
+    assert metrics and np.isfinite(metrics["critic_loss"])
+
+    n_steps = 5
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        metrics = agent.learn()
+    _ = float(metrics["critic_loss"])  # D2H barrier
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_steps / dt
+
+    tr = agent.memory.sample(agent.batch_size)
+    batch = {k: jnp.asarray(v) for k, v in tr._asdict().items()}
+    try:
+        cost = op_counter(agent._learn_step, agent.state, batch,
+                          jax.random.PRNGKey(1))
+        flops = cost["flops"]
+    except Exception:
+        flops = -1.0
+    return steps_per_sec, flops
+
+
+def bench_stage2():
+    model = get_model(_moe_cfg(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    img_u8 = jnp.zeros((BATCH, 4, 224, 224, 3), jnp.uint8)
-    spd = jnp.zeros((BATCH, 1), jnp.float32)
-    cmd = jnp.zeros((BATCH, COMMANDS), jnp.float32)
-    control = jnp.zeros((BATCH, 2), jnp.float32)
+    img_u8 = jnp.zeros((BATCH2, 4, 224, 224, 3), jnp.uint8)
+    spd = jnp.zeros((BATCH2, 1), jnp.float32)
+    cmd = jnp.zeros((BATCH2, COMMANDS), jnp.float32)
+    control = jnp.zeros((BATCH2, 2), jnp.float32)
     variables = jit_init(model, {"params": rng},
                          img_u8[:2].astype(jnp.float32), spd[:2], cmd[:2])
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
@@ -65,7 +159,7 @@ def bench_train_step():
     def train_step(params, batch_stats, opt_state, img_u8, spd, cmd, control,
                    rng, it):
         x = img_u8.astype(jnp.float32) / 255.0
-        x = augment(rng, x, it * BATCH, "super_hard", BATCH)
+        x = augment(rng, x, it * BATCH2, "super_hard", BATCH2)
 
         def loss_fn(p):
             (dist, speeds), updates = model.apply(
@@ -80,26 +174,31 @@ def bench_train_step():
         params = optax.apply_updates(params, upd)
         return params, updates["batch_stats"], opt_state, loss
 
+    try:
+        cost = op_counter(train_step, params, batch_stats, opt_state, img_u8,
+                          spd, cmd, control, rng, 0.0)
+        flops = cost["flops"]
+    except Exception:
+        flops = -1.0
+
     step = jax.jit(train_step, donate_argnums=(0, 1, 2))
-    # warmup/compile; NOTE: on the tunneled runtime block_until_ready does not
-    # actually block — a device->host scalar fetch is the only honest barrier.
     params, batch_stats, opt_state, loss = step(
         params, batch_stats, opt_state, img_u8, spd, cmd, control, rng, 0.0)
-    _ = float(loss)
+    _ = float(loss)                    # compile barrier
 
     n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, img_u8, spd, cmd, control, rng,
-            float(i))
-    _ = float(loss)                       # D2H barrier
+            params, batch_stats, opt_state, img_u8, spd, cmd, control,
+            jax.random.fold_in(rng, i), float(i))
+    _ = float(loss)                    # D2H barrier
     dt = time.perf_counter() - t0
-    return n_steps / dt
+    return n_steps / dt, flops
 
 
 def bench_inference_latency():
-    model = get_model(_cfg("bf16"), dtype=jnp.bfloat16)
+    model = get_model(_moe_cfg(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     frames = jnp.zeros((1, 4, 224, 224, 3), jnp.float32)
     spd = jnp.zeros((1, 1), jnp.float32)
@@ -123,21 +222,65 @@ def bench_inference_latency():
         t0 = time.perf_counter()
         frames, action = agent_step(variables, frames, new_frame, spd, cmd,
                                     jax.random.fold_in(rng, i))
-        _ = np.asarray(action)            # D2H barrier — the agent reads the
-        lat.append(time.perf_counter() - t0)  # action on host every tick anyway
+        _ = np.asarray(action)         # the agent reads the action every tick
+        lat.append(time.perf_counter() - t0)
     return float(np.percentile(np.array(lat) * 1000.0, 50))
 
 
+def bench_closed_loop_fps():
+    """Whole NoCrash hot loop: fake backend render + sensor hub + ImageAgent
+    (crop/resize, waypointer, jitted sample) — end-to-end ticks/sec."""
+    from pmoe_tpu.agents.image_agent import ImageAgent
+    from pmoe_tpu.eval.criteria import CriteriaTree, RouteCompletionTest
+    from pmoe_tpu.eval.manager import run_episode
+    from pmoe_tpu.sim.fake_carla import FakeCarlaBackend
+    from pmoe_tpu.utils.config import Config
+
+    cfg = Config({
+        "sensors": {"img_width": 800, "img_height": 600},
+        "logger": {"disabled": True},
+        "model": {"actor": dict(_moe_cfg(), n_commands=COMMANDS,
+                                model_dir="")},
+    })
+    backend = FakeCarlaBackend(town="Town01")
+    route = backend.trace_route(0, 3)
+    frame = backend.reset(route)
+    agent = ImageAgent(cfg)
+    agent.set_global_plan(route.gps_plan())
+    criteria = CriteriaTree([RouteCompletionTest(route)])
+    t0 = time.perf_counter()
+    result = run_episode(backend, agent, criteria, frame, max_ticks=200)
+    dt = time.perf_counter() - t0
+    agent.destroy()
+    return result.ticks / dt
+
+
 def main():
-    steps_per_sec = bench_train_step()
+    health_check()
+    peak = peak_flops()
+
+    s2_steps, s2_flops = bench_stage2()
+    s2_mfu = (s2_flops * s2_steps / peak) if s2_flops > 0 else -1.0
     p50_ms = bench_inference_latency()
+    loop_fps = bench_closed_loop_fps()
+    s3_steps, s3_flops = bench_stage3()
+    s3_mfu = (s3_flops * s3_steps / peak) if s3_flops > 0 else -1.0
+
     print(json.dumps({
-        "metric": "stage2_moe_train_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 3),
+        "metric": "stage3_ddpg_train_steps_per_sec_per_chip",
+        "value": round(s3_steps, 3),
         "unit": "steps/s",
         "vs_baseline": 1.0,
-        "extra": {"p50_inference_latency_ms": round(p50_ms, 3),
-                  "batch": BATCH, "device": str(jax.devices()[0])},
+        "extra": {
+            "stage3_mfu": round(s3_mfu, 4),
+            "stage3_tflops_per_step": round(s3_flops / 1e12, 3),
+            "stage2_train_steps_per_sec": round(s2_steps, 3),
+            "stage2_mfu": round(s2_mfu, 4),
+            "p50_inference_latency_ms": round(p50_ms, 3),
+            "closed_loop_fps": round(loop_fps, 1),
+            "batch_stage2": BATCH2, "batch_stage3": BATCH3,
+            "device": str(jax.devices()[0]),
+        },
     }))
 
 

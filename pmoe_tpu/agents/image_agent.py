@@ -147,8 +147,28 @@ class ImageAgent(AutonomousAgent):
             jnp.asarray(speed), jnp.asarray(command), k)
         action = np.asarray(action)
         self.num_frames += 1
+
+        # eval media: annotated frames every ~25 ticks, flushed as a strip
+        # every 1000 frames (reference image_agent.py:90-99 logs videos)
+        if self.logger is not None and not self.logger.disabled:
+            if self.num_frames % 25 == 0:
+                from ..utils.vision import draw_on_image
+
+                self.vizs.append(draw_on_image(
+                    rgb224.astype(np.float32).transpose(2, 0, 1) / 255.0,
+                    {"command": command[0]}, action, gt=False))
+            if self.num_frames % 1000 == 0:
+                self.flush_vizs()
         return self.postprocess(action)
 
+    def flush_vizs(self) -> None:
+        if self.vizs and self.logger is not None:
+            strip = np.concatenate(self.vizs[-16:], axis=1)
+            self.logger.log_image(strip, name="eval_strip",
+                                  step=self.num_frames)
+            self.vizs.clear()
+
     def destroy(self) -> None:
+        self.flush_vizs()
         self.waypointer = None
         self.vizs.clear()

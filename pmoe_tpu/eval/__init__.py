@@ -1,5 +1,6 @@
 from .criteria import (Criterion, CollisionTest, RouteCompletionTest,
-                       RunningRedLightTest, InRouteTest, BlockedTest,
+                       RunningRedLightTest, RunningStopTest,
+                       OutsideRouteLanesTest, InRouteTest, BlockedTest,
                        TimeoutTest, CriteriaTree)
 from .statistics import (NoCrashStatisticsManager, StatisticsManager,
                          RouteRecord, PENALTY_VALUES)
@@ -17,6 +18,7 @@ from ..sim.sensor_interface import AgentError, SensorReceivedNoData
 __all__ = [
     "Criterion", "CollisionTest", "RouteCompletionTest", "RunningRedLightTest",
     "InRouteTest", "BlockedTest", "TimeoutTest", "CriteriaTree",
+    "RunningStopTest", "OutsideRouteLanesTest",
     "NoCrashStatisticsManager", "StatisticsManager", "RouteRecord",
     "PENALTY_VALUES", "NoCrashEvaluator", "WEATHERS", "TRAFFIC_TABLES",
     "LeaderboardEvaluator", "RouteIndexer", "RouteConfig", "view_results",

@@ -26,8 +26,8 @@ import numpy as np
 from ..sim.interface import CollisionEvent, EgoState, Route, SIM_DT
 
 __all__ = ["Criterion", "CollisionTest", "RouteCompletionTest",
-           "RunningRedLightTest", "InRouteTest", "BlockedTest", "TimeoutTest",
-           "CriteriaTree"]
+           "RunningRedLightTest", "RunningStopTest", "OutsideRouteLanesTest",
+           "InRouteTest", "BlockedTest", "TimeoutTest", "CriteriaTree"]
 
 
 class Criterion:
@@ -142,6 +142,58 @@ class BlockedTest(Criterion):
         if self._blocked_time >= self.max_time:
             self.test_status = "FAILURE"
             self.events.append({"type": "blocked", "frame": frame.frame})
+
+
+class RunningStopTest(Criterion):
+    """Stop-sign infractions (srunner atomic_criteria.py:1877): the backend
+    flags the tick on which the ego left a stop zone without having stopped."""
+
+    name = "RunningStopTest"
+
+    def __init__(self, backend, **kw):
+        super().__init__(**kw)
+        self._backend = backend
+
+    def update(self, ego: EgoState, frame) -> None:
+        if getattr(self._backend, "ran_stop_sign", lambda: False)():
+            self.actual_value += 1
+            self.test_status = "FAILURE"
+            self.events.append({"type": "stop_infraction",
+                                "frame": frame.frame})
+
+
+class OutsideRouteLanesTest(Criterion):
+    """Percentage of driven distance spent outside road lanes (srunner
+    atomic_criteria.py:1039). The leaderboard multiplies the score by
+    (1 - percentage/100) (reference statistics_manager.py:163-166)."""
+
+    name = "OutsideRouteLanesTest"
+
+    def __init__(self, backend, **kw):
+        super().__init__(**kw)
+        self._backend = backend
+        self._driven = 0.0
+        self._outside = 0.0
+
+    def update(self, ego: EgoState, frame) -> None:
+        step = ego.speed * SIM_DT
+        self._driven += step
+        if getattr(self._backend, "off_lane", lambda: False)():
+            self._outside += step
+            self.test_status = "FAILURE"
+        self.actual_value = round(
+            100.0 * self._outside / max(self._driven, 1e-9), 2)
+
+    @property
+    def percentage(self) -> float:
+        return float(self.actual_value)
+
+    def summary_events(self):
+        if self._outside > 0.0:
+            return [{"type": "outside_route_lanes",
+                     "percentage": self.percentage,
+                     "meters": round(self._outside, 2)}]
+        return []
 
 
 class TimeoutTest(Criterion):

@@ -14,7 +14,8 @@ from typing import List
 
 from ..sim.interface import DrivingBackend, SIM_DT
 from .criteria import (BlockedTest, CollisionTest, CriteriaTree, InRouteTest,
-                       RouteCompletionTest, RunningRedLightTest, TimeoutTest)
+                       OutsideRouteLanesTest, RouteCompletionTest,
+                       RunningRedLightTest, RunningStopTest, TimeoutTest)
 from .manager import run_episode
 from .route_indexer import RouteIndexer
 from .scenarios import ScenarioInjector
@@ -79,6 +80,8 @@ class LeaderboardEvaluator:
             CollisionTest(),                       # NOT terminal on leaderboard
             RouteCompletionTest(trace),
             RunningRedLightTest(self.backend),
+            RunningStopTest(self.backend),
+            OutsideRouteLanesTest(self.backend),
             InRouteTest(trace),
             BlockedTest(),
             TimeoutTest(trace),
@@ -103,6 +106,9 @@ class LeaderboardEvaluator:
             kind = ev["type"].replace("collision_walker", "collision_pedestrian")
             events.setdefault(kind, []).append(ev)
         events["red_light"] = criteria.get("RunningRedLightTest").events
+        events["stop_infraction"] = criteria.get("RunningStopTest").events
+        events["outside_route_lanes"] = \
+            criteria.get("OutsideRouteLanesTest").summary_events()
         events["vehicle_blocked"] = criteria.get("BlockedTest").events
         events["route_timeout"] = criteria.get("TimeoutTest").events
         events["route_dev"] = criteria.get("InRouteTest").events

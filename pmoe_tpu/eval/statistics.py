@@ -83,8 +83,8 @@ class RouteRecord:
         self.status = "Started"
         self.infractions = {k: [] for k in (
             "collision_pedestrian", "collision_vehicle", "collision_static",
-            "red_light", "stop_infraction", "route_dev", "vehicle_blocked",
-            "route_timeout")}
+            "red_light", "stop_infraction", "outside_route_lanes",
+            "route_dev", "vehicle_blocked", "route_timeout")}
         self.scores = {"score_route": 0.0, "score_penalty": 1.0,
                        "score_composed": 0.0}
         self.meta = {}
@@ -140,6 +140,12 @@ class StatisticsManager:
                 record.infractions[kind].extend(events)
             if kind in PENALTY_VALUES:
                 penalty *= PENALTY_VALUES[kind] ** len(events)
+            elif kind == "outside_route_lanes":
+                # fractional penalty: x (1 - pct/100)
+                # (reference statistics_manager.py:163-166)
+                for ev in events:
+                    penalty *= max(
+                        1.0 - float(ev.get("percentage", 0.0)) / 100.0, 0.0)
         record.scores["score_route"] = route_completion
         record.scores["score_penalty"] = penalty
         record.scores["score_composed"] = max(route_completion * penalty, 0.0)

@@ -73,7 +73,8 @@ class Agent:
     """DDPG agent (reference rl_agent.py:76-219): replay buffer, OU noise,
     target networks with soft update tau, jitted learn step."""
 
-    def __init__(self, params: Mapping, example_obs, rng=None):
+    def __init__(self, params: Mapping, example_obs, rng=None,
+                 dtype=jnp.float32):
         self.gamma = float(params["gamma"])
         self.tau = float(params["tau"])
         self.batch_size = int(params["batch_size"])
@@ -88,9 +89,9 @@ class Agent:
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         actor_cfg = params["actor"]
         critic_cfg = params["critic"]
-        self.actor_model = get_model(actor_cfg)
+        self.actor_model = get_model(actor_cfg, dtype=dtype)
         self.actor_type = actor_cfg.get("type", "pmoe")
-        self.critic_model = Critic(cfg=critic_cfg)
+        self.critic_model = Critic(cfg=critic_cfg, dtype=dtype)
 
         images, speed, command = example_obs
         k1, k2, k3 = jax.random.split(self._next_rng(), 3)

@@ -44,7 +44,12 @@ def _match_spatial(x: jnp.ndarray, target_hw: Tuple[int, int]) -> jnp.ndarray:
 
 
 class _Up(nn.Module):
-    """ConvTranspose(k2, s2) upsample matched to the skip's spatial shape."""
+    """ConvTranspose(k2, s2) upsample matched to the skip's spatial shape.
+
+    The bias is added AFTER the spatial match: torch's ``output_size=``
+    realizes odd sizes via ``output_padding``, whose extra bottom/right rows
+    carry no input contributions but DO receive the bias (golden-tested on a
+    50x50 odd-size input against the reference)."""
 
     features: int
     dtype: Dtype = jnp.float32
@@ -58,11 +63,15 @@ class _Up(nn.Module):
             kernel_size=(2, 2),
             strides=(2, 2),
             padding="VALID",
+            use_bias=False,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=self.kernel_init,
         )(x)
-        return _match_spatial(x, skip_hw)
+        x = _match_spatial(x, skip_hw)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return x + bias.astype(x.dtype)
 
 
 class UNet(nn.Module):

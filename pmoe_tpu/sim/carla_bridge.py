@@ -198,6 +198,44 @@ class CarlaBackend(DrivingBackend):
     def ran_red_light(self) -> bool:
         return self._ran_red
 
+    def ran_stop_sign(self) -> bool:
+        """Stop-sign zone tracking over the server's `traffic.stop` actors —
+        same exit-without-stopping contract as the fake backend (srunner
+        RunningStopTest:1877)."""
+        if self._ego is None:
+            return False
+        if not hasattr(self, "_stop_actors"):
+            self._stop_actors = list(
+                self.world.get_actors().filter("traffic.stop*"))
+            self._stop_state = {}
+        loc = self._ego.get_location()
+        spd = self.ego_state().speed
+        violated = False
+        for actor in self._stop_actors:
+            inside = loc.distance(actor.get_location()) < 10.0
+            state = self._stop_state.get(actor.id)
+            if inside:
+                self._stop_state[actor.id] = (spd if state is None
+                                              else min(state, spd))
+            elif state is not None:
+                if state > 0.3:
+                    violated = True
+                del self._stop_state[actor.id]
+        return violated
+
+    def off_lane(self) -> bool:
+        """Outside every driving lane: no projectable driving-lane waypoint
+        within lane half-width of the ego."""
+        if self._ego is None:
+            return False
+        wp = self._map.get_waypoint(
+            self._ego.get_location(), project_to_road=True,
+            lane_type=self._carla.LaneType.Driving)
+        if wp is None:
+            return True
+        d = self._ego.get_location().distance(wp.transform.location)
+        return d > max(wp.lane_width * 0.5 + 1.3, 3.0)
+
     def ego_state(self) -> EgoState:
         tf = self._ego.get_transform()
         vel = self._ego.get_velocity()

@@ -87,6 +87,15 @@ class FakeCarlaBackend(DrivingBackend):
             _TrafficLight(i * _BLOCK, j * _BLOCK, phase_offset=7.0 * ((i + j) % 3))
             for i in range(n) for j in range(n)
         ]
+        # stop signs at a subset of intersections (CARLA towns mix signs and
+        # lights), offset toward the lane corner so the 10 m affected zone
+        # covers vehicles on the right-hand lanes; violation = leaving the
+        # zone without the speed ever dropping below the stop threshold
+        self._stop_signs = [np.array([i * _BLOCK + 6.0, j * _BLOCK + 6.0])
+                            for i in range(n) for j in range(n)
+                            if (i + j) % 3 == 1]
+        self._stop_state: dict = {}
+        self._ran_stop = False
         self._rng = np.random.default_rng(0)
         self._route: Optional[Route] = None
         self._npcs: List[_NPC] = []
@@ -150,6 +159,8 @@ class FakeCarlaBackend(DrivingBackend):
         self.t = 0.0
         self._ran_red = False
         self._was_before_light = {}
+        self._stop_state = {}
+        self._ran_stop = False
         x0, y0 = route.positions[0]
         x1, y1 = route.positions[min(5, len(route.positions) - 1)]
         self._ego = EgoState(x=float(x0), y=float(y0),
@@ -188,7 +199,45 @@ class FakeCarlaBackend(DrivingBackend):
 
         collision = self._check_collision()
         self._ran_red = self._check_red_light()
+        self._ran_stop = self._check_stop_signs()
         return self._sensor_frame(collision)
+
+    def _check_stop_signs(self) -> bool:
+        """srunner RunningStopTest contract (atomic_criteria.py:1877): entering
+        a stop-sign's affected zone and leaving it without ever coming to a
+        stop is one infraction, flagged on the exit tick."""
+        p = np.array([self._ego.x, self._ego.y])
+        violated = False
+        for si, sign in enumerate(self._stop_signs):
+            inside = float(np.linalg.norm(sign - p)) < 10.0
+            state = self._stop_state.get(si)
+            if inside:
+                min_spd = self._ego.speed if state is None else min(
+                    state, self._ego.speed)
+                self._stop_state[si] = min_spd
+            elif state is not None:
+                if state > 0.3:             # never stopped inside the zone
+                    violated = True
+                del self._stop_state[si]
+        return violated
+
+    def ran_stop_sign(self) -> bool:
+        return self._ran_stop
+
+    def off_lane(self) -> bool:
+        """True when the ego is outside every road corridor (roads run along
+        the grid lines with 3.5 m half-width)."""
+        span = self._grid_n * _BLOCK
+
+        def dist_to_grid_line(c):
+            m = c % _BLOCK
+            return min(m, _BLOCK - m)
+
+        if not (-3.5 <= self._ego.x <= span + 3.5
+                and -3.5 <= self._ego.y <= span + 3.5):
+            return True
+        return (dist_to_grid_line(self._ego.x) > 3.5
+                and dist_to_grid_line(self._ego.y) > 3.5)
 
     def _check_collision(self) -> Optional[CollisionEvent]:
         p = np.array([self._ego.x, self._ego.y])
@@ -259,17 +308,22 @@ class FakeCarlaBackend(DrivingBackend):
         # project road points ahead of ego onto the image
         e = self._ego
         cos_y, sin_y = math.cos(-e.yaw), math.sin(-e.yaw)
+        f = 0.9 * W                                     # focal (pixels)
+
+        def project(world_xy):
+            """world (N,2) -> (xf forward, yl left) in the camera frame."""
+            rel = np.atleast_2d(world_xy) - np.array([e.x, e.y])
+            return (rel[:, 0] * cos_y - rel[:, 1] * sin_y,
+                    rel[:, 0] * sin_y + rel[:, 1] * cos_y)
+
         pts = self._route.positions if self._route is not None else np.zeros((1, 2))
-        rel = pts - np.array([e.x, e.y])
-        xf = rel[:, 0] * cos_y - rel[:, 1] * sin_y     # forward
-        yl = rel[:, 0] * sin_y + rel[:, 1] * cos_y     # left
+        xf, yl = project(pts)
         ahead = (xf > 1.0) & (xf < 80.0)
         if ahead.any():
-            xf, yl = xf[ahead], yl[ahead]
-            f = 0.9 * W                                 # focal (pixels)
-            u = (W / 2 + f * yl / xf).astype(int)
-            v = (horizon + (0.35 * H) / xf * 12.0).astype(int)   # cam height ~1.3m
-            half_w = np.maximum((f * 3.5 / xf).astype(int), 1)   # road half-width
+            xfa, yla = xf[ahead], yl[ahead]
+            u = (W / 2 + f * yla / xfa).astype(int)
+            v = (horizon + (0.35 * H) / xfa * 12.0).astype(int)  # cam height ~1.3m
+            half_w = np.maximum((f * 3.5 / xfa).astype(int), 1)  # road half-width
             v = np.clip(v, horizon, H - 1)
             for ui, vi, hw in zip(u, v, half_w):
                 lo, hi = max(ui - hw, 0), min(ui + hw, W)
@@ -277,6 +331,47 @@ class FakeCarlaBackend(DrivingBackend):
                     img[vi, lo:hi] = (90, 90, 95)
                     if seg is not None:
                         seg[vi, lo:hi] = 7      # Road
+
+        def draw_box(xfi, yli, width_m, height_m, color, seg_cls,
+                     base_height_m=0.0):
+            """Billboard at camera-frame (xfi, yli): width/height in meters,
+            base elevated by base_height_m (traffic-light heads)."""
+            if not (1.0 < xfi < 80.0):
+                return
+            u_c = W / 2 + f * yli / xfi
+            v_base = horizon + (0.35 * H) / xfi * 12.0 \
+                - (f * base_height_m) / xfi
+            h_px = max(int(f * height_m / xfi), 1)
+            w_px = max(int(f * width_m / xfi), 1)
+            u0, u1 = int(u_c - w_px / 2), int(u_c + w_px / 2) + 1
+            v1 = int(np.clip(v_base, 0, H - 1)) + 1
+            v0 = max(v1 - h_px, 0)
+            u0, u1 = max(u0, 0), min(u1, W)
+            if u0 < u1 and v0 < v1:
+                img[v0:v1, u0:u1] = color
+                if seg is not None:
+                    seg[v0:v1, u0:u1] = seg_cls
+
+        # NPC actors + traffic lights, far-to-near so near occludes far
+        # (CARLA classes: 4 Pedestrian, 10 Vehicles, 18 TrafficLight)
+        drawables = []
+        for npc in self._npcs:
+            p = npc.position(self.t)
+            xfi, yli = project(p)
+            if npc.kind == "vehicle":
+                drawables.append((xfi[0], yli[0], 1.9, 1.6, (30, 30, 160),
+                                  10, 0.0))
+            else:
+                drawables.append((xfi[0], yli[0], 0.5, 1.8, (210, 90, 60),
+                                  4, 0.0))
+        for light in self._lights:
+            xfi, yli = project((light.x, light.y))
+            color = (230, 40, 40) if light.is_red(self.t) else (40, 220, 70)
+            # pole + head elevated ~4 m
+            drawables.append((xfi[0], yli[0], 0.25, 4.0, (80, 80, 80), 5, 0.0))
+            drawables.append((xfi[0], yli[0], 0.6, 0.9, color, 18, 4.0))
+        for d in sorted(drawables, key=lambda t: -t[0]):
+            draw_box(*d)
         # darker weather variants
         if self._weather in (3, 10):
             img = (img * 0.8).astype(np.uint8)

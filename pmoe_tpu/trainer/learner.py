@@ -48,7 +48,30 @@ class BaseLearner:
         self.logger = init_logger(self.cfg.get("logger", {}))
         self.logger.log_parameters({"stage": self.stage, **_flatten_cfg(self.cfg)})
         self.rng = jax.random.PRNGKey(int(self.cfg.get("dataset", {}).get("seed", 0)))
-        self.mesh = make_mesh() if len(jax.devices()) > 1 else None
+        # (data, expert) device mesh; `parallel.expert: E` in the YAML shards
+        # the stacked-expert parameter axis E ways (EP), the rest is DP.
+        # The data axis must divide the batch size (static shapes, drop_last
+        # batches) — shrink it to the largest power-of-two divisor that fits.
+        par = self.cfg.get("parallel", {})
+        expert_ways = int(par.get("expert", 1))
+        bs = int(self.cfg.get("dataloader", {}).get("batch_size", 32))
+        n = len(jax.devices())
+        if par.get("data") is not None:     # explicit override (tests/tuning)
+            data_ways = int(par.get("data"))
+        else:
+            data_ways = max(n // expert_ways, 1)
+            while data_ways > 1 and bs % data_ways != 0:
+                data_ways //= 2
+        n_used = data_ways * expert_ways
+        if n_used > 1 and n_used <= n:
+            self.mesh = make_mesh(jax.devices()[:n_used], data=data_ways,
+                                  expert=expert_ways)
+            if n_used < n:
+                print(f"[{self.stage}] using {n_used}/{n} devices "
+                      f"(data={data_ways} x expert={expert_ways}; batch "
+                      f"{bs} not divisible by larger data axes)")
+        else:
+            self.mesh = None
         self.epoch = 0
         self.iteration = 0
         self.best = float("inf")
@@ -229,7 +252,9 @@ class BaseLearner:
     def log_op_cost(self) -> None:
         """XLA cost analysis of the eval step — GFLOPs + params at train end
         (the reference's thop FLOPs probe, train_2.py:238-242)."""
-        try:
+        if self.logger.disabled:
+            return                     # observability off: skip the extra
+        try:                           # lower+compile entirely
             batch = self.put(next(iter(self.val_loader)))
             args = self.eval_example_args(batch)
             cost = op_counter(self.eval_step, self.state, *args)

@@ -59,12 +59,17 @@ def dice_score(pred: jnp.ndarray, target: jnp.ndarray, epsilon: float = 1e-6):
 
 def tversky_loss(pred: jnp.ndarray, target: jnp.ndarray,
                  alpha: float = 0.5, beta: float = 0.5):
-    """pred logits (B, H, W, C), target int (B, H, W)."""
+    """pred logits (B, H, W, C), target int (B, H, W).
+
+    Reduction axes replicate the reference exactly (loss.py:41:
+    ``dims = (0,) + tuple(range(2, target.ndimension()))`` on NCHW tensors):
+    batch + all spatial axes EXCEPT the last — the W axis survives into the
+    final mean alongside the class axis. Golden-tested against the recording.
+    """
     num_classes = pred.shape[-1]
     probs = jax.nn.softmax(pred.astype(jnp.float32), axis=-1)
     t_oh = jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
-    # reduce over batch + spatial dims, keep class axis (reference loss.py:39)
-    axes = tuple(range(probs.ndim - 1))
+    axes = (0,) + tuple(range(1, target.ndim - 1))
     inter = jnp.sum(probs * t_oh, axis=axes)
     fps = jnp.sum(probs * (1.0 - t_oh), axis=axes)
     fns = jnp.sum((1.0 - probs) * t_oh, axis=axes)

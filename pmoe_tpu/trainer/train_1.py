@@ -142,12 +142,40 @@ class Learner(BaseLearner):
         return updates["batch_stats"]
 
     def validate(self) -> dict:
-        eval_fn = jax.jit(self.eval_step)
+        if not hasattr(self, "_eval_fn"):
+            self._eval_fn = jax.jit(self.eval_step)
         total, n = 0.0, 0
         for batch in self.val_loader:
-            total += float(eval_fn(self.state, self.put(batch)))
+            batch = self.put(batch)
+            total += float(self._eval_fn(self.state, batch))
+            if n == 0:
+                self._log_mask_strip(batch)
             n += 1
         return {"val_loss": total / n if n else float("nan")}
+
+    def _log_mask_strip(self, batch) -> None:
+        """Decoded future-mask strips: predicted row over ground-truth row
+        (reference train_1.py:253-267 logs exactly this to comet)."""
+        if self.logger.disabled:
+            return
+        import numpy as np
+
+        from ..utils.vision import decode_mask
+
+        imgs, masks = batch
+        if not hasattr(self, "_pred_fn"):
+            self._pred_fn = jax.jit(
+                lambda state, x: state.apply_fn(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    x, False))
+        preds = self._pred_fn(self.state, imgs[:1].astype(jnp.float32) / 255.0)
+        pred_cls = np.asarray(jnp.argmax(preds[0], axis=-1))    # (T', H, W)
+        gt_cls = np.asarray(masks[0])
+        pred_row = np.concatenate([decode_mask(m) for m in pred_cls], axis=1)
+        gt_row = np.concatenate([decode_mask(m) for m in gt_cls], axis=1)
+        self.logger.log_image(np.concatenate([pred_row, gt_row], axis=0),
+                              name="future_masks", step=self.iteration)
 
 
 def main(argv=None):

@@ -94,6 +94,8 @@ class Learner(BaseLearner):
 
         params, batch_stats, exclude, freeze = self._graft_and_freeze(
             mcfg, params, batch_stats)
+        params, batch_stats = self._maybe_load_pretrained(
+            mcfg, params, batch_stats)
 
         steps = max(1, len(self.train_loader))
         tp = self.cfg.get("train_params", {})
@@ -102,11 +104,45 @@ class Learner(BaseLearner):
                                     swa_start=self.swa_start,
                                     swa_lr=float(self.cfg.get("SWA", {})
                                                  .get("swa_lr", lr0)))
+        if self.mesh is not None:
+            # EP: stacked-expert leading axes over the 'expert' mesh axis,
+            # everything else replicated; the optimizer state inherits the
+            # placement from tx.init over the sharded params
+            from ..parallel.mesh import replicated, shard_params
+
+            params = shard_params(self.mesh, params)
+            batch_stats = jax.device_put(batch_stats, replicated(self.mesh))
         tx = make_optimizer(self.cfg, schedule,
                             grad_clipping=tp.get("grad_clipping", 1.0),
                             params=params, exclude_freeze=exclude,
                             freeze_all_except=freeze)
         self.state = TrainState.create(self.model.apply, params, batch_stats, tx)
+
+    def _maybe_load_pretrained(self, mcfg, params, batch_stats):
+        """ImageNet backbone initialization (reference backbone.py:49-75,
+        ``pretrained=params.pretrained``): graft an exported torchvision
+        state_dict into every backbone subtree, broadcasting across the
+        stacked-expert axis. Weights come from ``backbone.rgb.weights_path``
+        (a ``torch.save(model.state_dict(), ...)`` .pth or an .npz of the same
+        arrays, exported offline) — there is no download path on TPU hosts."""
+        rgb = mcfg.get("backbone", {}).get("rgb", {})
+        if not bool(rgb.get("pretrained", False)):
+            return params, batch_stats
+        arch = str(rgb.get("arch", "resnet18")).lower()
+        path = str(rgb.get("weights_path",
+                           f"checkpoint/imagenet/{arch}.pth"))
+        if not Path(path).exists():
+            print(f"[stage2] pretrained: True but no weight export at {path} "
+                  f"— training the backbone from scratch "
+                  f"(export torchvision weights offline to enable)")
+            return params, batch_stats
+        from ..utils.torch_compat import load_pretrained_backbone
+
+        params, batch_stats, n = load_pretrained_backbone(
+            params, batch_stats, arch, path)
+        if n == 0:
+            print(f"[stage2] WARNING: {path} matched no backbone leaves")
+        return params, batch_stats
 
     def _graft_and_freeze(self, mcfg, params, batch_stats):
         """Stage-to-stage weight transfer + freeze rules per model type."""
@@ -212,12 +248,45 @@ class Learner(BaseLearner):
         return (batch, jax.random.PRNGKey(0))
 
     def validate(self) -> dict:
-        eval_fn = jax.jit(self.eval_step)
+        if not hasattr(self, "_eval_fn"):
+            self._eval_fn = jax.jit(self.eval_step)
         total, n = 0.0, 0
         for batch in self.val_loader:
-            total += float(eval_fn(self.state, self.put(batch), self.next_rng()))
+            batch = self.put(batch)
+            total += float(self._eval_fn(self.state, batch, self.next_rng()))
+            if n == 0:
+                self._log_action_overlay(batch)
             n += 1
         return {"val_loss": total / n if n else float("nan")}
+
+    def _log_action_overlay(self, batch) -> None:
+        """Predicted (red) vs ground-truth (green) control overlays on the
+        last input frame (reference train_2.py:276-285)."""
+        if self.logger.disabled:
+            return
+        import numpy as np
+
+        from ..utils.vision import draw_on_image
+
+        imgs, speed, control, command = self._split_batch(batch)
+        if not hasattr(self, "_sample_fn"):
+            self._sample_fn = jax.jit(
+                lambda state, x, s, c, rng: state.apply_fn(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    x, s, c, False, method="sample", rngs={"sample": rng}))
+        actions = self._sample_fn(self.state,
+                                  imgs.astype(jnp.float32) / 255.0,
+                                  speed, command, self.next_rng())
+        for i in range(min(2, imgs.shape[0])):
+            frame = np.asarray(imgs[i, -1], np.float32) / 255.0   # (H, W, 3)
+            meas = {"command": np.asarray(command[i]),
+                    "control": np.asarray(control[i]),
+                    "speed": float(np.asarray(speed[i]).reshape(-1)[0])}
+            overlay = draw_on_image(frame.transpose(2, 0, 1), meas,
+                                    np.asarray(actions[i]))
+            self.logger.log_image(overlay, name=f"val_overlay_{i}",
+                                  step=self.iteration)
 
 
 def main(argv=None):

@@ -1,0 +1,273 @@
+"""Torch-layout weight conversion into the flax parameter trees.
+
+Two consumers:
+
+* **Golden-parity tests** — identical weights are loaded into the reference's
+  torch modules (to record activations) and into our flax modules (to compare),
+  backing the "bit-for-bit within fp32 tolerance" contract.
+* **Pretrained backbones** — the reference initializes its CNN trunks from
+  torchvision ImageNet checkpoints (/root/reference/PMoE/model/blocks/
+  backbone.py:49-75, ``pretrained=params.pretrained``). :func:`
+  load_pretrained_backbone` grafts an exported torchvision ``state_dict``
+  (``torch.save(model.state_dict(), path)`` offline, or an ``.npz`` of the
+  same arrays) into every ``backbone`` subtree of a model's params — including
+  the K-stacked expert axis of the MoE, where the weights are broadcast.
+
+All converters take a plain ``{name: np.ndarray}`` mapping (a torch state_dict
+viewed as numpy), so torch itself is only needed when reading ``.pth`` files.
+
+Layout rules (torch -> flax):
+  Linear   weight (out, in)            -> kernel (in, out)
+  Conv2d   weight (out, in, kh, kw)    -> kernel (kh, kw, in, out)
+  ConvT2d  weight (in, out, kh, kw)    -> kernel (kh, kw, in, out), spatially
+                                          flipped (torch's transposed conv is
+                                          the conv gradient; flax/lax
+                                          conv_transpose correlates directly)
+  Conv1d   weight (1, 1, k)  [ECA]     -> kernel (k, 1, 1)
+  BatchNorm weight/bias/running_mean/running_var -> scale/bias + mean/var
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+__all__ = [
+    "linear_from_torch", "conv_from_torch", "conv_transpose_from_torch",
+    "bn_from_torch", "eca_from_torch", "mlp_from_torch", "conv3_from_torch",
+    "efficient_conv_block_from_torch", "unet_from_torch",
+    "resnet_from_torchvision", "load_state_dict_file",
+    "load_pretrained_backbone",
+]
+
+Array = np.ndarray
+SD = Mapping[str, Array]
+
+
+def linear_from_torch(sd: SD, prefix: str) -> Dict[str, Array]:
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv_from_torch(sd: SD, prefix: str) -> Dict[str, Array]:
+    out = {"kernel": np.ascontiguousarray(
+        np.transpose(sd[f"{prefix}.weight"], (2, 3, 1, 0)))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv_transpose_from_torch(sd: SD, prefix: str) -> Dict[str, Array]:
+    # torch (in, out, kh, kw): flip spatial dims, then (kh, kw, in, out)
+    w = sd[f"{prefix}.weight"][:, :, ::-1, ::-1]
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def bn_from_torch(sd: SD, prefix: str) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+    params = {"scale": np.asarray(sd[f"{prefix}.weight"]),
+              "bias": np.asarray(sd[f"{prefix}.bias"])}
+    stats = {"mean": np.asarray(sd[f"{prefix}.running_mean"]),
+             "var": np.asarray(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def _dot(prefix: str) -> str:
+    return prefix if (not prefix or prefix.endswith(".")) else prefix + "."
+
+
+def eca_from_torch(sd: SD, prefix: str = "") -> Dict[str, Array]:
+    """EfficientBlock's Conv1d(1, 1, k) -> our (k, 1, 1) WIO kernel
+    (reference basics.py:68)."""
+    w = sd[f"{_dot(prefix)}conv.weight"]     # (1, 1, k)
+    return {"conv_kernel": np.ascontiguousarray(
+        np.transpose(w, (2, 1, 0)))}
+
+
+def mlp_from_torch(sd: SD, prefix: str, dims, bn: bool,
+                   dropout: float = 0.0, act_between: bool = True):
+    """``make_mlp`` Sequential (reference basics.py:10-44): layer indices
+    depend on bn/dropout placement; walk them in construction order."""
+    params: Dict[str, dict] = {}
+    stats: Dict[str, dict] = {}
+    idx = 0
+    n = len(dims) - 1
+    for i in range(n):
+        params[f"dense_{i}"] = linear_from_torch(sd, f"{prefix}{idx}")
+        idx += 1
+        if i != n - 1:
+            if bn:
+                p, s = bn_from_torch(sd, f"{prefix}{idx}")
+                params[f"bn_{i}"] = p
+                stats[f"bn_{i}"] = s
+                idx += 1
+            idx += 1                          # activation module
+            if dropout > 0.0:
+                idx += 1                      # dropout module
+    return params, stats
+
+
+def conv3_from_torch(sd: SD, prefix: str):
+    """``conv3`` Sequential: indices 0,1 (conv,bn) then 3,4
+    (reference basics.py:47-58)."""
+    params, stats = {}, {}
+    for i, base in enumerate((0, 3)):
+        params[f"conv_{i}"] = conv_from_torch(sd, f"{prefix}{base}")
+        p, s = bn_from_torch(sd, f"{prefix}{base + 1}")
+        params[f"bn_{i}"] = p
+        stats[f"bn_{i}"] = s
+    return params, stats
+
+
+def efficient_conv_block_from_torch(sd: SD, prefix: str = ""):
+    """EfficientConvBlock: layer{1,2} = (eca{1,2}, conv{1,2}: Sequential of
+    conv/bn/relu) (reference basics.py:79-134)."""
+    params, stats = {}, {}
+    prefix = _dot(prefix)
+    for i in (0, 1):
+        params[f"eca_{i}"] = eca_from_torch(sd, f"{prefix}layer{i+1}.eca{i+1}")
+        conv_prefix = f"{prefix}layer{i+1}.conv{i+1}."
+        params[f"conv_{i}"] = conv_from_torch(sd, f"{conv_prefix}0")
+        p, s = bn_from_torch(sd, f"{conv_prefix}1")
+        params[f"bn_{i}"] = p
+        stats[f"bn_{i}"] = s
+    return params, stats
+
+
+def unet_from_torch(sd: SD, prefix: str = ""):
+    """Full UNet tree (reference unet.py:8-95): dwn_1..5 conv3 encoders,
+    up_1..4 transposed convs, up_forw_1..4 conv3 decoders, 1x1 out conv."""
+    params, stats = {}, {}
+    for i in range(1, 6):
+        p, s = conv3_from_torch(sd, f"{prefix}dwn_{i}.")
+        params[f"dwn_{i}"] = p
+        stats[f"dwn_{i}"] = s
+    for i in range(1, 5):
+        ct = conv_transpose_from_torch(sd, f"{prefix}up_{i}")
+        # _Up owns the bias (added after output_size spatial matching)
+        params[f"up_{i}"] = {"ConvTranspose_0": {"kernel": ct["kernel"]},
+                             "bias": ct["bias"]}
+        p, s = conv3_from_torch(sd, f"{prefix}up_forw_{i}.")
+        params[f"up_forw_{i}"] = p
+        stats[f"up_forw_{i}"] = s
+    params["out"] = conv_from_torch(sd, f"{prefix}out")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# torchvision ImageNet backbones
+# ---------------------------------------------------------------------------
+
+def _resnet_block_from_torch(sd: SD, prefix: str, bottleneck: bool):
+    params, stats = {}, {}
+    n_convs = 3 if bottleneck else 2
+    for c in range(1, n_convs + 1):
+        params[f"conv{c}"] = conv_from_torch(sd, f"{prefix}.conv{c}")
+        p, s = bn_from_torch(sd, f"{prefix}.bn{c}")
+        params[f"bn{c}"] = p
+        stats[f"bn{c}"] = s
+    if f"{prefix}.downsample.0.weight" in sd:
+        params["downsample_conv"] = conv_from_torch(sd, f"{prefix}.downsample.0")
+        p, s = bn_from_torch(sd, f"{prefix}.downsample.1")
+        params["downsample_bn"] = p
+        stats["downsample_bn"] = s
+    return params, stats
+
+
+def resnet_from_torchvision(sd: SD, arch: str = "resnet18"):
+    """Map a torchvision resnet state_dict onto our ResNetBackbone's interior
+    stages (layer1..4 -> layer{s}_{i}). The stem (replaced by the
+    EfficientConvBlock, reference backbone.py:55-58) and the classifier head
+    (forced to 512-d, :61-71) are intentionally NOT mapped — they train from
+    scratch, like the reference's surgery on the torchvision model."""
+    from ..nn.resnet import RESNET_SPECS
+
+    spec = RESNET_SPECS[arch.lower()]
+    bottleneck = spec["block"] == "bottleneck"
+    params, stats = {}, {}
+    for stage, n_blocks in enumerate(spec["layers"], start=1):
+        for i in range(n_blocks):
+            p, s = _resnet_block_from_torch(sd, f"layer{stage}.{i}",
+                                            bottleneck)
+            params[f"layer{stage}_{i}"] = p
+            stats[f"layer{stage}_{i}"] = s
+    return params, stats
+
+
+def load_state_dict_file(path: str) -> Dict[str, Array]:
+    """Read an exported state_dict: ``.pth/.pt`` via torch (CPU), ``.npz``
+    directly."""
+    path = str(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def _graft_backbone(dst: dict, src: dict, dst_stats: dict, src_stats: dict):
+    """Copy matching leaves; broadcast over a leading stacked-expert axis when
+    the destination has one extra dim (nn.vmap-stacked MoE experts)."""
+    n_loaded = 0
+
+    def rec(d, s):
+        nonlocal n_loaded
+        for k, v in s.items():
+            if k not in d:
+                continue
+            if isinstance(v, dict):
+                rec(d[k], v)
+            else:
+                tgt = d[k]
+                if tgt.shape == v.shape:
+                    d[k] = v.astype(np.asarray(tgt).dtype)
+                    n_loaded += 1
+                elif (np.ndim(tgt) == v.ndim + 1
+                      and tuple(tgt.shape[1:]) == v.shape):
+                    d[k] = np.broadcast_to(
+                        v, tgt.shape).astype(np.asarray(tgt).dtype).copy()
+                    n_loaded += 1
+    rec(dst, src)
+    rec(dst_stats, src_stats)
+    return n_loaded
+
+
+def load_pretrained_backbone(params: dict, batch_stats: dict, arch: str,
+                             path: str, verbose: bool = True):
+    """Graft ImageNet weights into every ``backbone`` subtree of ``params``.
+
+    Returns (params, batch_stats, n_loaded_leaves). Mutates copies, not the
+    inputs. Safe no-op (n=0) when no ``backbone`` scope matches."""
+    import copy
+
+    sd = load_state_dict_file(path)
+    src_p, src_s = resnet_from_torchvision(sd, arch)
+    params = copy.deepcopy(
+        {k: v for k, v in params.items()}) if params else {}
+    batch_stats = copy.deepcopy(
+        {k: v for k, v in batch_stats.items()}) if batch_stats else {}
+    total = 0
+
+    def walk(p, s):
+        nonlocal total
+        for k in list(p.keys()):
+            if not isinstance(p[k], dict):
+                continue
+            if k == "backbone":
+                total += _graft_backbone(p[k], src_p,
+                                         s.get(k, {}) if s else {}, src_s)
+            else:
+                walk(p[k], s.get(k, {}) if isinstance(s, dict) else {})
+
+    walk(params, batch_stats)
+    if verbose:
+        print(f"[pretrained] {arch}: grafted {total} leaves from {path}")
+    return params, batch_stats, total

@@ -5,7 +5,19 @@ path at all — SURVEY §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the environment may carry JAX_PLATFORMS=axon
+# (tunneled TPU) which would silently run every test on the real chip with
+# TPU matmul numerics and tunnel latency. The TPU runtime's sitecustomize may
+# have imported jax already, in which case jax.config captured the axon value
+# at import time — override through the config, before any backend is built.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import sys as _sys
+
+if "jax" in _sys.modules:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,184 @@
+"""Golden-parity tests against recorded activations of the torch reference.
+
+Fixtures under tests/golden/ were produced by tools/make_golden.py driving
+/root/reference/PMoE with weights that are a pure function of (state_dict
+name, shape) — see tests/golden_utils.py. Here the SAME weights are rebuilt,
+converted to flax layout (pmoe_tpu.utils.torch_compat), and the module outputs
+must match the recordings within fp32 tolerance (the north star's
+"bit-for-bit within fp32 tolerance" contract)."""
+
+import numpy as np
+import pytest
+
+from golden_utils import load_manifest, load_outputs, state_dict_for
+
+from pmoe_tpu.utils import torch_compat as tc
+
+RTOL, ATOL = 2e-5, 2e-5
+
+
+def nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+@pytest.fixture(scope="module")
+def manifest():
+    return load_manifest()
+
+
+def test_mlp_plain(manifest):
+    from pmoe_tpu.nn.blocks import MLP
+
+    sd = state_dict_for(manifest["mlp_plain"])
+    params, _ = tc.mlp_from_torch(sd, "", [7, 16, 8], bn=False)
+    rec = load_outputs("mlp_plain")
+    m = MLP(dims=(7, 16, 8), act="relu", l_act=False, bn=False)
+    y = m.apply({"params": params}, rec["x"], False)
+    np.testing.assert_allclose(np.asarray(y), rec["y"], rtol=RTOL, atol=ATOL)
+
+
+def test_mlp_bn_elu(manifest):
+    from pmoe_tpu.nn.blocks import MLP
+
+    sd = state_dict_for(manifest["mlp_bn_elu"])
+    params, stats = tc.mlp_from_torch(sd, "", [7, 16, 8], bn=True)
+    rec = load_outputs("mlp_bn_elu")
+    m = MLP(dims=(7, 16, 8), act="elu", l_act=True, bn=True)
+    y = m.apply({"params": params, "batch_stats": stats}, rec["x"], False)
+    np.testing.assert_allclose(np.asarray(y), rec["y"], rtol=RTOL, atol=ATOL)
+
+
+def test_conv3(manifest):
+    from pmoe_tpu.nn.blocks import ConvBlock3
+
+    sd = state_dict_for(manifest["conv3"])
+    params, stats = tc.conv3_from_torch(sd, "")
+    rec = load_outputs("conv3")
+    m = ConvBlock3(8)
+    y = m.apply({"params": params, "batch_stats": stats}, nhwc(rec["x"]),
+                False)
+    np.testing.assert_allclose(nchw(np.asarray(y)), rec["y"], rtol=RTOL,
+                               atol=ATOL)
+
+
+@pytest.mark.parametrize("c", [16, 64, 92])
+def test_eca(manifest, c):
+    from pmoe_tpu.nn.blocks import ECA
+
+    sd = state_dict_for(manifest[f"eca_{c}"])
+    params = tc.eca_from_torch(sd, "")
+    rec = load_outputs(f"eca_{c}")
+    m = ECA(channels=c, gamma=2, b=1)
+    y = m.apply({"params": params}, nhwc(rec["x"]))
+    np.testing.assert_allclose(nchw(np.asarray(y)), rec["y"], rtol=RTOL,
+                               atol=ATOL)
+
+
+def test_efficient_conv_block(manifest):
+    from pmoe_tpu.nn.blocks import EfficientConvBlock
+
+    sd = state_dict_for(manifest["ecb"])
+    params, stats = tc.efficient_conv_block_from_torch(sd)
+    rec = load_outputs("ecb")
+    m = EfficientConvBlock(12, 3, gamma=2, b=1)
+    y = m.apply({"params": params, "batch_stats": stats}, nhwc(rec["x"]),
+                False)
+    np.testing.assert_allclose(nchw(np.asarray(y)), rec["y"], rtol=RTOL,
+                               atol=ATOL)
+
+
+def test_unet64(manifest):
+    from pmoe_tpu.nn.unet import UNet
+
+    sd = state_dict_for(manifest["unet64"])
+    params, stats = tc.unet_from_torch(sd)
+    rec = load_outputs("unet64")
+    m = UNet(in_features=3, out_features=23, inter_repr=True)
+    pooled, logits = m.apply({"params": params, "batch_stats": stats},
+                             nhwc(rec["x"]), False)
+    np.testing.assert_allclose(np.asarray(pooled), rec["pooled"], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(nchw(np.asarray(logits)), rec["logits"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_unet_odd_output_size(manifest):
+    """Odd 50x50 input exercises the ConvTranspose2d output_size crop/pad
+    semantics (reference unet.py:72-86)."""
+    from pmoe_tpu.nn.unet import UNet
+
+    sd = state_dict_for(manifest["unet_odd"])
+    params, stats = tc.unet_from_torch(sd)
+    rec = load_outputs("unet_odd")
+    m = UNet(in_features=3, out_features=23, inter_repr=False)
+    logits = m.apply({"params": params, "batch_stats": stats}, nhwc(rec["x"]),
+                     False)
+    np.testing.assert_allclose(nchw(np.asarray(logits)), rec["logits"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_segmentation_losses():
+    from pmoe_tpu.trainer import losses as L
+
+    rec = load_outputs("losses_seg")
+    logits, mask = nhwc(rec["logits"]), rec["mask"]
+    np.testing.assert_allclose(np.asarray(L.class_dice(logits, mask)),
+                               rec["class_dice"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(L.dice_score(logits, mask)),
+                               rec["dice_score"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(L.tversky_loss(logits, mask)),
+                               rec["tversky"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(L.cross_entropy_tversky_weighted_loss(logits, mask)),
+        rec["ce_tversky"], rtol=RTOL, atol=ATOL)
+
+
+def test_autoregressive_losses():
+    from pmoe_tpu.trainer import losses as L
+
+    rec = load_outputs("losses_ar")
+    logits = np.transpose(rec["logits"], (0, 1, 3, 4, 2))   # (B,T,H,W,C)
+    mask = rec["mask"]
+    np.testing.assert_allclose(
+        np.asarray(L.autoregressive_loss(logits, mask, "l1")), rec["ar_l1"],
+        rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(L.autoregressive_loss(logits, mask, "l2")), rec["ar_l2"],
+        rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(L.autoregressive_loss(logits, mask, "tversky")),
+        rec["ar_tversky"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(L.l1_gdl(logits, mask)),
+                               rec["l1_gdl"], rtol=RTOL, atol=ATOL)
+
+
+def test_mixture_log_prob_and_action_losses():
+    import jax
+
+    from pmoe_tpu.ops.distributions import MixtureOfGaussians
+    from pmoe_tpu.trainer import losses as L
+
+    rec = load_outputs("losses_action")
+    probs = jax.nn.softmax(rec["alphas"], axis=1)
+    std = jax.nn.elu(rec["raw_std"]) + 1.0
+    dist = MixtureOfGaussians(probs=np.asarray(probs), mean=rec["mean"],
+                              std=np.asarray(std))
+    np.testing.assert_allclose(np.asarray(dist.log_prob(rec["actions_gt"])),
+                               rec["log_prob"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(L.moe_loss(dist, rec["speed_pred"], rec["actions_gt"],
+                              rec["speed_gt"], (0.7, 0.3))),
+        rec["moe_loss"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(L.punet_loss(rec["actions"], rec["speed_pred"][:, 0],
+                                rec["actions_gt"], rec["speed_gt"],
+                                (0.7, 0.3))),
+        rec["punet_loss"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(L.pmoe_loss(rec["actions"], None, rec["actions_gt"], None,
+                               (1.0, 0.0))),
+        rec["pmoe_loss"], rtol=RTOL, atol=ATOL)

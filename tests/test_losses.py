@@ -52,7 +52,9 @@ def test_tversky_matches_torch(seg_batch):
     t = torch.tensor(target)
     t_oh = torch.zeros_like(p).scatter_(1, t.unsqueeze(1), 1.0)
     probs = F.softmax(p, dim=1)
-    dims = (0, 2, 3)
+    # the reference reduces over (0,) + range(2, target.ndim) == (0, 2) —
+    # the last spatial axis survives into the mean (loss.py:41); we replicate
+    dims = (0,) + tuple(range(2, t.ndim))
     inter = (probs * t_oh).sum(dims)
     fps = (probs * (1 - t_oh)).sum(dims)
     fns = ((1 - probs) * t_oh).sum(dims)
@@ -69,7 +71,9 @@ def test_ce_tversky_matches_torch(seg_batch):
     ce = F.cross_entropy(p, t, weight=w)
     t_oh = torch.zeros_like(p).scatter_(1, t.unsqueeze(1), 1.0)
     probs = F.softmax(p, dim=1)
-    dims = (0, 2, 3)
+    # the reference reduces over (0,) + range(2, target.ndim) == (0, 2) —
+    # the last spatial axis survives into the mean (loss.py:41); we replicate
+    dims = (0,) + tuple(range(2, t.ndim))
     inter = (probs * t_oh).sum(dims)
     fps = (probs * (1 - t_oh)).sum(dims)
     fns = ((1 - probs) * t_oh).sum(dims)

@@ -92,3 +92,90 @@ def test_shard_batch_places_leading_dim():
     out = shard_batch(mesh, batch)
     assert out["x"].sharding.spec == P("data", None)
     assert out["y"].sharding.spec == P("data")
+
+
+def test_stage2_dp_ep_step_matches_single_device(tiny_moe_cfg):
+    """One full stage-2 train step (forward, moe_loss, grads, adam update)
+    under the 2-expert x 4-data mesh produces the same loss and parameters as
+    the unsharded single-device step (VERDICT round-1 item 10)."""
+    from pmoe_tpu.models import get_model
+    from pmoe_tpu.parallel import replicated
+    from pmoe_tpu.trainer.losses import moe_loss
+
+    cfg = dict(tiny_moe_cfg, n_experts=2)
+    model = get_model(cfg)
+    B = 8
+    k = jax.random.PRNGKey(0)
+    img = jax.random.uniform(k, (B, 4, 16, 16, 3))
+    spd = jax.random.normal(jax.random.fold_in(k, 1), (B, 1))
+    cmd = jax.nn.one_hot(jnp.arange(B) % 4, 4)
+    control = jnp.clip(jax.random.normal(jax.random.fold_in(k, 2), (B, 2)),
+                       -1, 1)
+    v = model.init({"params": jax.random.PRNGKey(3)}, img, spd, cmd, False)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    rng = jax.random.PRNGKey(7)
+
+    def train_step(params, batch_stats, opt_state, img, spd, cmd, control):
+        def loss_fn(p):
+            (dist, speeds), upd = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                img, spd, cmd, True, mutable=["batch_stats"],
+                rngs={"dropout": rng, "sample": rng})
+            return moe_loss(dist, speeds, control, spd, (0.7, 0.3)), upd
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    step = jax.jit(train_step)
+    bs = v.get("batch_stats", {})
+    p_ref, loss_ref = step(v["params"], bs, tx.init(v["params"]),
+                           img, spd, cmd, control)
+
+    mesh = make_mesh(expert=2)
+    params_s = shard_params(mesh, v["params"])
+    bs_s = jax.device_put(bs, replicated(mesh))
+    opt_s = tx.init(params_s)
+    batch = shard_batch(mesh, {"img": img, "spd": spd, "cmd": cmd,
+                               "control": control})
+    p_mesh, loss_mesh = step(params_s, bs_s, opt_s, batch["img"],
+                             batch["spd"], batch["cmd"], batch["control"])
+
+    np.testing.assert_allclose(float(loss_mesh), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_learner_uses_expert_mesh(synthetic_root, tmp_path, tiny_moe_cfg):
+    """train_2's production path builds the (expert, data) mesh from
+    `parallel.expert` in the YAML and shards the stacked-expert params."""
+    from jax.sharding import PartitionSpec
+    from pmoe_tpu.trainer.train_2 import Learner
+    from pmoe_tpu.utils import Config
+
+    cfg = {
+        "train_params": {"epochs": 1, "optimizer": "adam", "save_every": 1,
+                         "swa_start": 99, "grad_clipping": 1.0,
+                         "start_saving_best": 0},
+        "logger": {"disabled": True},
+        "parallel": {"expert": 2},
+        "dataloader": {"batch_size": 8, "shuffle": False},
+        "directory": {"model_name": "moe", "save": str(tmp_path / "c"),
+                      "load": ""},
+        "adam": {"lr": 1e-3, "betas": [0.9, 0.999], "eps": 1e-8,
+                 "weight_decay": 0, "amsgrad": False},
+        "SWA": {"swa_lr": 5e-4},
+        "dataset": {"root": str(synthetic_root), "crop": [8, 8],
+                    "resize": [16, 16], "seed": 0, "aug_type": "segmentation",
+                    "batch_size": 8, "boost": 1, "n_commands": 4,
+                    "speed_factor": 10, "past_frames": 4, "future_frames": 2},
+        "model": dict(tiny_moe_cfg, n_experts=2),
+    }
+    cfg["val_dataset"] = dict(cfg["dataset"])
+    learner = Learner(Config(cfg))
+    assert learner.mesh is not None
+    assert learner.mesh.shape["expert"] == 2
+    spec = learner.state.params["experts"]["alpha"]["kernel"].sharding.spec
+    assert spec == PartitionSpec("expert", None, None)

@@ -301,3 +301,74 @@ def test_single_route_filter():
 
     only = parse_routes_file(DEFAULT_ROUTES_FILE, single_route="2")
     assert len(only) == 1 and only[0].route_id == "2"
+
+
+def test_camera_renders_npcs_and_lights():
+    """NPCs and traffic lights appear in both rgb and seg so vision-dependent
+    criteria correlate with what the model sees (VERDICT round-1 item 9)."""
+    import math
+    from pmoe_tpu.sim.fake_carla import _NPC
+
+    b = FakeCarlaBackend(img_width=320, img_height=240, render_seg=True)
+    route = b.trace_route(0, 2)
+    b.reset(route)
+    e = b.ego_state()
+    ahead = np.array([e.x + 15 * math.cos(e.yaw), e.y + 15 * math.sin(e.yaw)])
+    b._npcs.append(_NPC("vehicle", ahead, ahead + 0.1, speed=0.0, phase=0.0))
+    side = ahead + np.array([2.0, 0.0])
+    b._npcs.append(_NPC("walker", side, side + 0.1, speed=0.0, phase=0.0))
+    f = b.tick(VehicleControl())
+    assert (f.seg == 7).any()         # road
+    assert (f.seg == 10).any()        # vehicle billboard
+    assert (f.seg == 4).any()         # pedestrian
+    # drive toward the next intersection; its light should come into view
+    seen_light = False
+    for _ in range(600):
+        f = b.tick(VehicleControl(throttle=0.8))
+        if (f.seg == 18).any():
+            seen_light = True
+            break
+    assert seen_light
+
+
+def test_off_lane_detection():
+    b = FakeCarlaBackend(render=False)
+    b.reset(b.trace_route(0, 1))
+    b._ego.x, b._ego.y = 50.0, 2.0      # on the y=0 road corridor
+    assert not b.off_lane()
+    b._ego.x, b._ego.y = 50.0, 50.0     # mid-block, off every road
+    assert b.off_lane()
+    b._ego.x, b._ego.y = 102.0, 50.0    # on the x=100 road corridor
+    assert not b.off_lane()
+
+
+def test_running_stop_produces_penalized_score(tmp_path):
+    """A scripted agent blowing through a stop sign gets the 0.80 stop
+    penalty in the composed leaderboard score (VERDICT round-1 item 7)."""
+    from pmoe_tpu.eval import RouteConfig
+
+    backend = FakeCarlaBackend(render=False)
+    # route along x=10 passes the stop sign at (6, 106) within its 10 m zone
+    assert any(np.allclose(s, [6.0, 106.0]) for s in backend._stop_signs)
+    stats = StatisticsManager()
+    ev = LeaderboardEvaluator(backend, stats,
+                              checkpoint_path=str(tmp_path / "s.json"),
+                              max_ticks=2500, verbose=False,
+                              inject_scenarios=False)
+    cfg = RouteConfig("stoptest", 0, 3)   # spawn (10,2) -> (10,302)
+    stats.set_route("stoptest", 0)
+    cfg.index = 0
+    ev._run_route(lambda: FollowAgent(None), cfg)
+    rec = stats._registry[0]
+    assert len(rec.infractions["stop_infraction"]) >= 1
+    assert rec.scores["score_penalty"] <= 0.8 + 1e-9
+    assert rec.scores["score_composed"] < rec.scores["score_route"]
+
+
+def test_outside_lane_fractional_penalty():
+    stats = StatisticsManager()
+    stats.set_route("r", 0)
+    rec = stats.compute_route_statistics(
+        0, 90.0, {"outside_route_lanes": [{"percentage": 25.0}]})
+    np.testing.assert_allclose(rec.scores["score_penalty"], 0.75)
+    np.testing.assert_allclose(rec.scores["score_composed"], 90.0 * 0.75)

@@ -14,6 +14,9 @@ def _base_cfg(root, tmp_path, name):
         "train_params": {"epochs": 1, "optimizer": "adam", "save_every": 1,
                          "swa_start": 1, "patience": 3, "early_stopping": False,
                          "grad_clipping": 1.0, "start_saving_best": 0},
+        # single-device: SPMD compiles of full stage steps are too slow for CI
+        # on the virtual mesh; mesh coverage lives in test_sharding.py
+        "parallel": {"data": 1},
         "logger": {"disabled": True},
         "dataloader": {"batch_size": 4, "shuffle": True},
         "directory": {"model_name": name, "save": str(tmp_path / "ckpt"),
