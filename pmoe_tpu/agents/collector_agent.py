@@ -55,7 +55,12 @@ class CollectorAgent(AutonomousAgent):
             self.waypointer = Waypointer(self._global_plan, gps,
                                          threshold_before=25.0,
                                          threshold_after=25.0)
-        wx, wy, cmd = self.waypointer.tick(gps)
+        _, _, cmd = self.waypointer.tick(gps)
+        # pure pursuit on the node AFTER the consumed checkpoint (the
+        # checkpoint sits at/behind the ego once consumed)
+        nxt = min(self.waypointer.current_idx + 1,
+                  len(self.waypointer.global_plan) - 1)
+        wx, wy, _ = self.waypointer.global_plan[max(nxt, 0)]
         x, y = self.waypointer.latlon_to_xy(gps[0], gps[1])
         heading = input_data.get("COMPASS", (0, 0.0))[1]
         target = math.atan2(wy - y, wx - x)

@@ -92,7 +92,7 @@ class LeaderboardEvaluator:
 
         result = run_episode(self.backend, agent, criteria, frame,
                              max_ticks=self.max_ticks, injector=injector,
-                             sensor_hub=self.sensor_hub)
+                             sensor_hub=self.sensor_hub, route=trace)
         ticks = result.ticks
         agent.destroy()
 

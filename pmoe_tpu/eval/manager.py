@@ -44,16 +44,25 @@ def run_episode(backend: DrivingBackend, agent, criteria: CriteriaTree,
                 first_frame: SensorFrame, max_ticks: Optional[int] = None,
                 injector=None, sensor_timeout: float = 10.0,
                 watchdog_timeout: float = 120.0,
-                sensor_hub: Optional[SensorHub] = None) -> EpisodeResult:
+                sensor_hub: Optional[SensorHub] = None,
+                route=None) -> EpisodeResult:
     """Run one closed-loop episode until a terminal criterion / max_ticks.
 
     The caller owns backend reset, criteria construction, and stats logging;
-    ``sensor_hub`` may be injected for failure-injection tests.
+    ``sensor_hub`` may be injected for failure-injection tests. When the
+    agent declares sensors, the hub is derived from (and validated against)
+    that declaration; agents with no declaration get the default suite.
     """
     result = EpisodeResult()
     frame = first_frame
-    hub = sensor_hub or SensorHub(timeout=sensor_timeout,
-                                  with_camera=frame.rgb is not None)
+    if sensor_hub is not None:
+        hub = sensor_hub
+    elif getattr(agent, "sensors", lambda: [])():
+        hub = SensorHub.for_agent(agent, backend, route=route,
+                                  timeout=sensor_timeout, frame=frame)
+    else:
+        hub = SensorHub(timeout=sensor_timeout,
+                        with_camera=frame.rgb is not None)
     watchdog = Watchdog(timeout=watchdog_timeout)
     GameTime.restart()
     try:

@@ -116,7 +116,7 @@ class NoCrashEvaluator:
         t0 = time.perf_counter()
         result = run_episode(self.backend, agent, criteria, frame,
                              max_ticks=self.max_ticks,
-                             sensor_hub=self.sensor_hub)
+                             sensor_hub=self.sensor_hub, route=trace)
         agent.destroy()
         rc = criteria.get("RouteCompletionTest")
         lights = criteria.get("RunningRedLightTest")

@@ -146,15 +146,24 @@ class ECA(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         k = eca_kernel_size(self.channels, self.gamma, self.b)
-        # x: (B, H, W, C) -> squeeze: (B, C)
-        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
         w = self.param(
             "conv_kernel",
             nn.initializers.lecun_normal(),
             (k, 1, 1),
             self.param_dtype,
         )
+        # PMOE_FUSED_ECA=1 routes through the Pallas streaming kernel
+        # (ops/eca_pallas.py) when eligible; its serial-DMA form currently
+        # trails XLA's fusion on v5e, so XLA stays the default.
+        if os.environ.get("PMOE_FUSED_ECA", "0") == "1" and x.ndim == 4:
+            from ..ops.eca_pallas import eca_apply
+
+            return eca_apply(x, w[:, 0, 0], use_pallas=True)
+        # x: (B, H, W, C) -> squeeze: (B, C)
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
         # channel axis treated as the spatial axis of a width-C, 1-feature conv
         y = jax.lax.conv_general_dilated(
             y[:, :, None],

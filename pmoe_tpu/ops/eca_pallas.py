@@ -131,11 +131,11 @@ def _fused_eca_fwd_impl(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((1, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((b, n_rows, c), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((8, c), jnp.float32),

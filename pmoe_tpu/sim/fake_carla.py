@@ -41,6 +41,32 @@ _LIGHT_PERIOD = 10.0    # seconds green, then red
 _TOWN_GRID = {"Town01": 4, "Town02": 3, "FullTown01-v1": 4}
 
 
+class _WeatherSim:
+    """srunner WeatherBehavior analog (scenariomanager/weather_sim.py): the
+    sun moves with game time, so illumination evolves during an episode
+    instead of staying a static preset."""
+
+    #: preset -> (sun altitude deg, precipitation 0..1)
+    PRESETS = {1: (75.0, 0.0), 3: (75.0, 0.5), 6: (75.0, 0.9),
+               8: (15.0, 0.0), 10: (15.0, 0.5), 14: (15.0, 0.3)}
+    SUN_DEG_PER_SEC = 0.08      # ~matches srunner's elapsed-time update
+
+    def __init__(self, preset: int = 1):
+        self.altitude0, self.precipitation = self.PRESETS.get(
+            preset, (75.0, 0.0))
+
+    def state(self, t: float) -> dict:
+        altitude = max(self.altitude0 - self.SUN_DEG_PER_SEC * t, -5.0)
+        return {"sun_altitude": altitude,
+                "precipitation": self.precipitation}
+
+    def brightness(self, t: float) -> float:
+        """0..1 illumination factor from sun altitude + rain."""
+        alt = self.state(t)["sun_altitude"]
+        sun = float(np.clip(alt / 75.0, 0.15, 1.0))
+        return sun * (1.0 - 0.4 * self.precipitation)
+
+
 class _TrafficLight:
     def __init__(self, x: float, y: float, phase_offset: float):
         self.x, self.y = x, y
@@ -103,6 +129,7 @@ class FakeCarlaBackend(DrivingBackend):
         self.t = 0.0
         self._ego = EgoState()
         self._weather = 1
+        self._weather_sim = _WeatherSim(1)
         self._ran_red = False
         self._was_before_light: dict = {}
 
@@ -154,6 +181,7 @@ class FakeCarlaBackend(DrivingBackend):
               n_pedestrians: int = 0, seed: int = 0) -> SensorFrame:
         self._route = route
         self._weather = weather
+        self._weather_sim = _WeatherSim(weather)
         self._rng = np.random.default_rng(seed)
         self.frame = 0
         self.t = 0.0
@@ -372,12 +400,15 @@ class FakeCarlaBackend(DrivingBackend):
             drawables.append((xfi[0], yli[0], 0.6, 0.9, color, 18, 4.0))
         for d in sorted(drawables, key=lambda t: -t[0]):
             draw_box(*d)
-        # darker weather variants
-        if self._weather in (3, 10):
-            img = (img * 0.8).astype(np.uint8)
-        elif self._weather in (6, 14):
-            img = (img * 0.6).astype(np.uint8)
+        # illumination from the evolving weather simulation (sun altitude
+        # decays with game time; rain dims further)
+        bright = self._weather_sim.brightness(self.t)
+        if bright < 0.999:
+            img = (img * bright).astype(np.uint8)
         return img, seg
+
+    def weather_state(self) -> dict:
+        return self._weather_sim.state(self.t)
 
     def close(self) -> None:
         self._route = None

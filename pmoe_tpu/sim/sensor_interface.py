@@ -24,8 +24,9 @@ from typing import Callable, Dict, List, Optional
 
 from .interface import SensorFrame
 
-__all__ = ["SensorReceivedNoData", "AgentError", "SensorInterface",
-           "PseudoSensorReader", "SensorHub"]
+__all__ = ["SensorReceivedNoData", "AgentError", "SensorConfigurationInvalid",
+           "SensorInterface", "PseudoSensorReader", "SensorHub",
+           "validate_sensors", "SENSOR_LIMITS"]
 
 
 class SensorReceivedNoData(RuntimeError):
@@ -34,6 +35,43 @@ class SensorReceivedNoData(RuntimeError):
 
 class AgentError(RuntimeError):
     """The agent's run_step crashed; the episode fails but the run continues."""
+
+
+class SensorConfigurationInvalid(RuntimeError):
+    """The declared sensor suite violates the track rules
+    (reference agent_wrapper.py:204-252)."""
+
+
+#: per-type sensor count limits (reference agent_wrapper.py track rules)
+SENSOR_LIMITS = {"sensor.camera.rgb": 4, "sensor.lidar.ray_cast": 1,
+                 "sensor.other.radar": 2, "sensor.other.gnss": 1,
+                 "sensor.other.imu": 1, "sensor.speedometer": 1,
+                 "sensor.collision": 1}
+_MAX_SENSOR_OFFSET = 3.0
+
+
+def validate_sensors(sensors, track) -> None:
+    """Enforce the leaderboard track rules on a declared sensor suite:
+    MAP-only sensors are rejected on the SENSORS track, per-type counts are
+    capped, and extrinsics must stay within 3 m of the ego."""
+    counts: Dict[str, int] = {}
+    for s in sensors:
+        stype = s.get("type", "")
+        if stype in ("sensor.map", "sensor.opendrive_map") and \
+                getattr(track, "name", str(track)) == "SENSORS":
+            raise SensorConfigurationInvalid(
+                f"{stype} is not allowed on the SENSORS track")
+        counts[stype] = counts.get(stype, 0) + 1
+        if counts[stype] > SENSOR_LIMITS.get(stype, 8):
+            raise SensorConfigurationInvalid(
+                f"too many {stype} sensors "
+                f"(limit {SENSOR_LIMITS.get(stype, 8)})")
+        offset = (float(s.get("x", 0.0)) ** 2 + float(s.get("y", 0.0)) ** 2
+                  + float(s.get("z", 0.0)) ** 2) ** 0.5
+        if offset > _MAX_SENSOR_OFFSET + 1e-9:
+            raise SensorConfigurationInvalid(
+                f"sensor {s.get('id', stype)} mounted {offset:.2f} m from "
+                f"the ego (limit {_MAX_SENSOR_OFFSET} m)")
 
 
 class SensorInterface:
@@ -123,7 +161,8 @@ class SensorHub:
     the analog of carla sensor callbacks — while speedometer and collision go
     through pseudo-sensor reader threads (reference :241-319)."""
 
-    def __init__(self, timeout: float = 10.0, with_camera: bool = True):
+    def __init__(self, timeout: float = 10.0, with_camera: bool = True,
+                 birdview_fn: Optional[Callable] = None):
         self.iface = SensorInterface(timeout=timeout)
         self.with_camera = with_camera
         if with_camera:
@@ -136,6 +175,32 @@ class SensorHub:
             PseudoSensorReader(self.iface, "COLLISION",
                                lambda f: f.collision is not None),
         ]
+        if birdview_fn is not None:
+            # MapReader analog (reference sensor_interface.py:241-258): the
+            # birdview rasterizer runs in its own reader thread
+            self.readers.append(
+                PseudoSensorReader(self.iface, "BIRDVIEW", birdview_fn))
+
+    @classmethod
+    def for_agent(cls, agent, backend, route=None, timeout: float = 10.0,
+                  frame: Optional[SensorFrame] = None) -> "SensorHub":
+        """Build the hub from the agent's declared sensor suite (the
+        AgentWrapper setup_sensors role, agent_wrapper.py:90-201), after
+        validating it against the track rules."""
+        sensors = agent.sensors() if hasattr(agent, "sensors") else []
+        if sensors:
+            validate_sensors(sensors, getattr(agent, "track", "SENSORS"))
+        wants_camera = any(s.get("type", "").startswith("sensor.camera")
+                           for s in sensors)
+        has_camera = frame is None or frame.rgb is not None
+        birdview_fn = None
+        if any(s.get("type") == "sensor.map" for s in sensors):
+            from .birdview import render_birdview
+
+            birdview_fn = lambda f: render_birdview(backend, route)
+        return cls(timeout=timeout,
+                   with_camera=wants_camera and has_camera,
+                   birdview_fn=birdview_fn)
 
     def on_frame(self, frame: SensorFrame) -> None:
         """Dispatch one synchronous tick's sensor payloads."""

@@ -15,6 +15,7 @@ help() {
   echo "  benchmark              run the leaderboard routes benchmark"
   echo "  nocrash TOWN WEATHER   run the NoCrash benchmark (Town01|Town02, train|test)"
   echo "  view_benchmark [DIR]   print benchmark results tables"
+  echo "  collect [args]         collect training episodes (noisy expert)"
   echo "  bench                  run the perf benchmark (bench.py)"
   echo "  -h | --help            show this help"
 }
@@ -27,6 +28,7 @@ case "$1" in
   benchmark)       shift; python -m pmoe_tpu.eval.evaluate "$@" ;;
   nocrash)         shift; python -m pmoe_tpu.eval.evaluate_nocrash --town "${1:-Town01}" --weather "${2:-train}" "${@:3}" ;;
   view_benchmark)  shift; python -m pmoe_tpu.eval.view_results "$@" ;;
+  collect)         shift; python -m pmoe_tpu.agents.collect "$@" ;;
   bench)           python bench.py ;;
   -h|--help|*)     help ;;
 esac

@@ -51,3 +51,22 @@ def test_eca_apply_dispatch():
     np.testing.assert_allclose(
         np.asarray(eca_apply(x128, w, use_pallas=True)),
         np.asarray(eca_reference(x128, w)), atol=1e-3)
+
+
+def test_eca_flag_routes_module_through_kernel(monkeypatch):
+    """PMOE_FUSED_ECA=1 makes nn.ECA dispatch into the fused kernel (interpret
+    mode off-TPU) with identical numerics to the XLA path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmoe_tpu.nn.blocks import ECA
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+    m = ECA(channels=128)
+    v = m.init({"params": jax.random.PRNGKey(1)}, x)
+    y_ref = m.apply(v, x)
+    monkeypatch.setenv("PMOE_FUSED_ECA", "1")
+    y_fused = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)

@@ -372,3 +372,110 @@ def test_outside_lane_fractional_penalty():
         0, 90.0, {"outside_route_lanes": [{"percentage": 25.0}]})
     np.testing.assert_allclose(rec.scores["score_penalty"], 0.75)
     np.testing.assert_allclose(rec.scores["score_composed"], 90.0 * 0.75)
+
+
+def test_birdview_renders_entities():
+    from pmoe_tpu.sim.birdview import render_birdview, BIRDVIEW_CHANNELS
+    from pmoe_tpu.sim.fake_carla import _NPC
+
+    b = FakeCarlaBackend(render=False)
+    route = b.trace_route(0, 3)
+    b.reset(route)
+    e = b.ego_state()
+    import math
+    ahead = np.array([e.x + 10 * math.cos(e.yaw), e.y + 10 * math.sin(e.yaw)])
+    b._npcs.append(_NPC("vehicle", ahead, ahead + 0.1, speed=0.0, phase=0.0))
+    bev = render_birdview(b, route)
+    assert bev.shape == (192, 192, BIRDVIEW_CHANNELS)
+    assert bev[..., 0].any()          # road
+    assert bev[..., 2].any()          # route
+    assert bev[..., 3].any()          # vehicle
+    assert bev[..., 9].any()          # ego marker
+    assert bev[..., 5].any() or bev[..., 7].any()   # some light state
+
+
+def test_sensor_validation_track_rules():
+    from pmoe_tpu.agents.autonomous_agent import Track
+    from pmoe_tpu.sim.sensor_interface import (SensorConfigurationInvalid,
+                                               validate_sensors)
+
+    ok = [{"type": "sensor.camera.rgb", "x": 1.3, "z": 1.3, "id": "C"},
+          {"type": "sensor.other.gnss", "id": "G"}]
+    validate_sensors(ok, Track.SENSORS)
+    with pytest.raises(SensorConfigurationInvalid, match="not allowed"):
+        validate_sensors([{"type": "sensor.map", "id": "M"}], Track.SENSORS)
+    validate_sensors([{"type": "sensor.map", "id": "M"}], Track.MAP)
+    with pytest.raises(SensorConfigurationInvalid, match="too many"):
+        validate_sensors([{"type": "sensor.other.gnss", "id": str(i)}
+                          for i in range(2)], Track.SENSORS)
+    with pytest.raises(SensorConfigurationInvalid, match="mounted"):
+        validate_sensors([{"type": "sensor.camera.rgb", "x": 5.0, "id": "C"}],
+                         Track.SENSORS)
+
+
+def test_map_track_agent_receives_birdview(tmp_path):
+    from pmoe_tpu.agents.autonomous_agent import Track
+    from pmoe_tpu.eval import run_episode
+    from pmoe_tpu.eval.criteria import CriteriaTree, RouteCompletionTest
+
+    seen = {}
+
+    class MapAgent(FollowAgent):
+        def setup(self, cfg):
+            super().setup(cfg)
+            self.track = Track.MAP
+
+        def sensors(self):
+            return [{"type": "sensor.map", "id": "BIRDVIEW"},
+                    {"type": "sensor.other.gnss", "id": "GPS"}]
+
+        def run_step(self, input_data, timestamp):
+            if "BIRDVIEW" in input_data:
+                seen["bev"] = input_data["BIRDVIEW"][1]
+            return super().run_step(input_data, timestamp)
+
+    backend = FakeCarlaBackend(render=False)
+    route = backend.trace_route(0, 1)
+    frame = backend.reset(route)
+    agent = MapAgent(None)
+    agent.set_global_plan(route.gps_plan())
+    criteria = CriteriaTree([RouteCompletionTest(route)])
+    run_episode(backend, agent, criteria, frame, max_ticks=30, route=route)
+    assert seen["bev"].shape[-1] == 12
+
+
+def test_collect_roundtrip_feeds_datasets(tmp_path):
+    """Collected episodes load straight into the stage-0/1/2 datasets —
+    simulator data generation -> training pipeline, no conversion."""
+    from pmoe_tpu.agents.collector_agent import collect_episode
+    from pmoe_tpu.data.dataset import CarlaSeg, CarlaSegPred
+
+    backend = FakeCarlaBackend(img_width=160, img_height=120, render_seg=True)
+    n = collect_episode(backend, str(tmp_path), "episode_000",
+                        max_ticks=24, noise_std=0.05)
+    assert n == 24
+    seg = CarlaSeg(root=str(tmp_path), crop=(8, 8), resize=(32, 32),
+                   mode="train")
+    img, mask = seg[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert mask.shape == (32, 32)
+    assert set(np.unique(mask)) <= set(range(23))
+
+    pred = CarlaSegPred(root=str(tmp_path), past_frames=4, future_frames=2,
+                        crop=(8, 8), resize=(32, 32), mode="train",
+                        load_measurements=True, batch_size=2)
+    imgs, meas = pred[0]
+    assert imgs.shape == (4, 32, 32, 3)
+    assert {"speed", "control", "command"} <= set(meas)
+
+
+def test_weather_evolves_during_episode():
+    """WeatherBehavior analog: illumination changes with game time."""
+    b = FakeCarlaBackend(img_width=64, img_height=48)
+    f0 = b.reset(b.trace_route(0, 1), weather=8)      # ClearSunset
+    alt0 = b.weather_state()["sun_altitude"]
+    m0 = float(f0.rgb.mean())
+    for _ in range(300):                              # 15 game seconds
+        f = b.tick(VehicleControl())
+    assert b.weather_state()["sun_altitude"] < alt0
+    assert float(f.rgb.mean()) < m0                   # sun went down -> darker
