@@ -27,7 +27,7 @@ import optax
 from flax import linen as nn
 
 from ..nn.blocks import MLP
-from ..utils.nn import make_freeze_mask, jit_init
+from ..utils.nn import jit_init, make_freeze_mask, stop_gradient_frozen
 from ..utils.noise import OrnsteinUhlenbeckActionNoise
 from .moe import get_model, _build_backbone, _mlp, _fold_time
 from .replay import ReplayMemory, Transition
@@ -108,6 +108,7 @@ class Agent:
         # actor trains only the exclude_freeze subset (e.g. mixers + alphas)
         trainable = make_freeze_mask(actor_params,
                                      list(actor_cfg.get("exclude_freeze", [])))
+        self._actor_trainable = trainable
         frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
         self.actor_tx = optax.chain(
             optax.adam(float(actor_cfg.get("lr", 1e-5))),
@@ -197,6 +198,10 @@ class Agent:
         critic_params = optax.apply_updates(state.critic_params, c_updates)
 
         def actor_loss_fn(ap):
+            # prune the frozen subtrees' backward (reference requires_grad
+            # semantics); without this the frozen MoE backbone's gradient
+            # buffers OOM a single chip at batch 64
+            ap = stop_gradient_frozen(ap, self._actor_trainable)
             mu = self._forward_actor(ap, state.actor_batch_stats,
                                      images, speed, command, k2)
             q = self.critic_model.apply(

@@ -33,6 +33,20 @@ AUG_TYPES = ("medium", "soft", "high", "medium_harder", "super_hard",
              "soft_harder", "custom", "segmentation", "none")
 
 
+def _finish(x: jnp.ndarray, orig_shape) -> jnp.ndarray:
+    """Clip + restore shape + OPTIMIZATION BARRIER.
+
+    The barrier materializes the augmented batch before the model consumes
+    it: letting XLA fuse the whole augmentation chain into the training graph
+    made the stage-2 step 1.6-6x slower on v5e (the scheduler interleaves /
+    rematerializes the chain inside the backward). Isolated, the full
+    super_hard pipeline costs ~15 ms at (256,224,224,3); behind the barrier
+    the train step pays exactly that.
+    """
+    x = jnp.clip(x, 0.0, 1.0).reshape(orig_shape)
+    return jax.lax.optimization_barrier(x)
+
+
 class Factors(NamedTuple):
     freq: jnp.ndarray          # per-op application probability
     color: jnp.ndarray         # per-channel-mode probability
@@ -124,7 +138,7 @@ def augment(rng: jax.Array, images: jnp.ndarray, image_iteration,
             ks[7], x, _u(ks[7], b, 0.0, 0.05), 1.0))
         x = _sometimes(ks[8], 0.2, x, I.linear_contrast(
             ks[9], x, _u(ks[9], b, 0.6, 1.4), _u(ks[8], b, 0.6, 1.4), 1.0))
-        return jnp.clip(x, 0.0, 1.0).reshape(orig_shape)
+        return _finish(x, orig_shape)
 
     f = schedule_factors(aug_type, image_iteration, bsz)
     x = images
@@ -163,4 +177,4 @@ def augment(rng: jax.Array, images: jnp.ndarray, image_iteration,
         # Grayscale((0, 1))
         x = _sometimes(ks[17], f.freq, x, I.grayscale(ks[17], x, 0.0, 1.0))
 
-    return jnp.clip(x, 0.0, 1.0).reshape(orig_shape)
+    return _finish(x, orig_shape)

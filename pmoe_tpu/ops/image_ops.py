@@ -28,32 +28,33 @@ def gaussian_blur(images: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     """Separable Gaussian blur with per-image traced sigma.
 
     images: (B, H, W, C); sigma: (B,). sigma ~ 0 degenerates to identity.
+
+    Implemented as static-shift multiply-adds (pad once per axis, then a
+    weighted sum of 2R+1 slices) rather than per-image depthwise convs: a
+    vmapped grouped conv lowers to 1-channel feature groups that each pad to
+    a full MXU tile on TPU (~100 ms/step at batch 256x224x224; the shift form
+    fuses into one elementwise pass).
     """
     x = jnp.arange(-_BLUR_RADIUS, _BLUR_RADIUS + 1, dtype=jnp.float32)
     sig = jnp.maximum(sigma.astype(jnp.float32), 1e-3)[:, None]       # (B, 1)
     w = jnp.exp(-0.5 * (x[None, :] / sig) ** 2)                       # (B, taps)
     w = w / jnp.sum(w, axis=1, keepdims=True)
 
-    def blur_one(img, kernel):
-        # img (H, W, C); kernel (taps,)
-        kh = kernel[:, None, None, None]                              # taps,1,1,1
-        pad = _BLUR_RADIUS
-        # vertical then horizontal depthwise conv
-        c = img.shape[-1]
-        imgn = img[None]                                              # (1,H,W,C)
-        kv = jnp.tile(kh, (1, 1, 1, c))                               # taps,1,1,C
-        out = jax.lax.conv_general_dilated(
-            imgn, kv, (1, 1), [(pad, pad), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
-        kh2 = jnp.transpose(kv, (1, 0, 2, 3))                         # 1,taps,1,C
-        out = jax.lax.conv_general_dilated(
-            out, kh2, (1, 1), [(0, 0), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
-        return out[0]
+    pad = _BLUR_RADIUS
+    h, wd = images.shape[1], images.shape[2]
+    taps = 2 * _BLUR_RADIUS + 1
 
-    return jax.vmap(blur_one)(images, w)
+    # vertical: sum_j w[:, j] * x_pad[:, j : j+H]  (zero padding = conv)
+    xp = jnp.pad(images, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+    out = jnp.zeros_like(images)
+    for j in range(taps):
+        out = out + w[:, j, None, None, None] * xp[:, j:j + h]
+    # horizontal
+    xp = jnp.pad(out, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    out = jnp.zeros_like(images)
+    for j in range(taps):
+        out = out + w[:, j, None, None, None] * xp[:, :, j:j + wd]
+    return out
 
 
 def _maybe_per_channel(key, shape_bc, pc_prob):

@@ -64,10 +64,24 @@ class DrivingGym:
         self._frames = np.concatenate(
             [self._frames[1:], small[None]], axis=0)
 
+    def _current_command(self) -> int:
+        """RoadOption at the route node the ego has reached (the waypointer's
+        command stream, remapped like ImageAgent: value-1, VOID -> 3)."""
+        cmd = RoadOption.LANEFOLLOW
+        if self._criteria is not None and self._route is not None:
+            rc = self._criteria.get("RouteCompletionTest")
+            idx = min(getattr(rc, "_best_idx", 0),
+                      len(self._route.options) - 1)
+            if self._route.options:
+                cmd = self._route.options[idx]
+        value = int(cmd) - 1
+        value = 3 if value < 0 else value
+        return min(value, self.n_commands - 1)
+
     def _obs(self, frame) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         speed = np.array([[frame.speed / self.speed_factor]], np.float32)
         command = np.zeros((1, self.n_commands), np.float32)
-        command[0, min(int(RoadOption.LANEFOLLOW) - 1, self.n_commands - 1)] = 1.0
+        command[0, self._current_command()] = 1.0
         return self._frames[None].copy(), speed, command
 
     # -- gym API --------------------------------------------------------------------

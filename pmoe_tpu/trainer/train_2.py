@@ -116,6 +116,12 @@ class Learner(BaseLearner):
                             grad_clipping=tp.get("grad_clipping", 1.0),
                             params=params, exclude_freeze=exclude,
                             freeze_all_except=freeze)
+        # same mask the optimizer uses, applied as stop_gradient inside the
+        # loss so XLA prunes the frozen subtrees' backward (memory + compute)
+        from ..utils.nn import make_freeze_mask
+
+        self.trainable_mask = (make_freeze_mask(params, exclude)
+                               if freeze else None)
         self.state = TrainState.create(self.model.apply, params, batch_stats, tx)
 
     def _maybe_load_pretrained(self, mcfg, params, batch_stats):
@@ -210,6 +216,10 @@ class Learner(BaseLearner):
                     self.aug_type, self.batch_size)
 
         def loss_fn(params):
+            if self.trainable_mask is not None:
+                from ..utils.nn import stop_gradient_frozen
+
+                params = stop_gradient_frozen(params, self.trainable_mask)
             out, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, speed, command, True, mutable=["batch_stats"],

@@ -121,6 +121,22 @@ def make_freeze_mask(params: Any, exclude: Sequence[str] | None = None) -> Any:
     return tree_util.tree_map_with_path(decide, params)
 
 
+def stop_gradient_frozen(params: Any, trainable_mask: Any) -> Any:
+    """Wrap frozen leaves in ``stop_gradient`` before the forward pass.
+
+    The torch reference freezes via ``requires_grad=False`` — autograd never
+    builds the frozen branches' backward. An optax ``masked(set_to_zero)``
+    alone zeroes updates AFTER the full backward ran; applying this inside the
+    loss lets XLA prune the frozen subtrees' backward entirely (it halves the
+    stage-3 actor update's memory: the frozen MoE backbone's grads otherwise
+    blow HBM at batch 64)."""
+    import jax
+
+    return tree_util.tree_map(
+        lambda p, m: p if m else jax.lax.stop_gradient(p), params,
+        trainable_mask)
+
+
 def trainable_count(params: Any, mask: Any | None = None) -> int:
     leaves = tree_util.tree_leaves(params)
     if mask is None:

@@ -21,10 +21,9 @@ if "jax" in _sys.modules:
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_backend_optimization_level" not in flags:
-    # tests assert semantics, not codegen quality: skipping XLA's optimization
-    # passes halves CPU compile time (the dominant test cost on small hosts)
-    flags = (flags + " --xla_backend_optimization_level=0").strip()
+# NOTE: --xla_backend_optimization_level=0 was tried to cut compile time but
+# unfused CPU execution made heavy steps ~20x slower (stage-1: 130 s/step vs
+# 6.7 s at full opt) — keep full optimization.
 os.environ["XLA_FLAGS"] = flags
 # persistent compilation cache: U-Net/MoE CPU compiles dominate test time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")

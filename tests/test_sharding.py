@@ -142,10 +142,12 @@ def test_stage2_dp_ep_step_matches_single_device(tiny_moe_cfg):
                              batch["spd"], batch["cmd"], batch["control"])
 
     np.testing.assert_allclose(float(loss_mesh), float(loss_ref), rtol=1e-5)
+    # adam's rsqrt amplifies fp32 reduction-order noise near zero-variance
+    # moments; tolerate update-magnitude-scale (lr=1e-3) differences
     for a, b in zip(jax.tree_util.tree_leaves(p_ref),
                     jax.tree_util.tree_leaves(p_mesh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=2e-6)
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_learner_uses_expert_mesh(synthetic_root, tmp_path, tiny_moe_cfg):

@@ -60,10 +60,12 @@ def test_stage1_one_epoch_freezes_unet(synthetic_root, tmp_path):
     cfg = _base_cfg(synthetic_root, tmp_path, "punet")
     cfg["train_params"]["swa_start"] = 99
     cfg["train_params"]["loss_type"] = "tversky"
+    # future_frames=1 halves the rollout graph; the scan/remat structure and
+    # freeze semantics under test are identical
     cfg["dataset"] = _dataset_cfg(synthetic_root, past_frames=4,
-                                  future_frames=2)
+                                  future_frames=1)
     cfg["val_dataset"] = dict(cfg["dataset"])
-    cfg["model"] = {"past_frames": 4, "future_frames": 2, "in_features": 3,
+    cfg["model"] = {"past_frames": 4, "future_frames": 1, "in_features": 3,
                     "num_classes": 23, "gamma": 2, "b": 1,
                     "model_name": "unet", "model_path": ""}
     import jax

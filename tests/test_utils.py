@@ -101,3 +101,25 @@ def test_ou_noise_reproducible():
     assert a.shape == (2,)
     n.reset()
     assert np.array_equal(n.x_prev, np.zeros(2))
+
+
+def test_stop_gradient_frozen_prunes_grads():
+    """Frozen leaves get exactly-zero gradients (torch requires_grad parity);
+    trainable leaves keep their true gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmoe_tpu.utils.nn import make_freeze_mask, stop_gradient_frozen
+
+    params = {"alpha": {"kernel": jnp.ones((3,))},
+              "backbone": {"kernel": jnp.full((3,), 2.0)}}
+    mask = make_freeze_mask(params, ["alpha"])   # only alpha trains
+
+    def loss(p):
+        p = stop_gradient_frozen(p, mask)
+        return sum(jnp.sum(l ** 2) for l in jax.tree_util.tree_leaves(p))
+
+    g = jax.grad(loss)(params)
+    np.testing.assert_allclose(np.asarray(g["alpha"]["kernel"]), 2.0)
+    np.testing.assert_allclose(np.asarray(g["backbone"]["kernel"]), 0.0)

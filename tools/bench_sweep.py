@@ -1,0 +1,113 @@
+"""Stage-2 step-time decomposition on the real TPU (MFU analysis).
+
+Variants of the stage-2 MoE train step are timed independently so the gap to
+peak can be attributed: augmentation, forward, backward, optimizer, batch
+size, and precision. Run ALONE on an idle host (1-CPU box: any concurrent
+load starves dispatch and corrupts timings).
+
+Usage: python tools/bench_sweep.py [--batch 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import bench
+from pmoe_tpu.models import get_model
+from pmoe_tpu.ops.augment import augment
+from pmoe_tpu.trainer.losses import moe_loss
+from pmoe_tpu.utils.nn import jit_init, op_counter
+
+
+def make_step(model, tx, batch, *, with_aug=True, with_bwd=True,
+              with_opt=True):
+    B = batch
+    def step(params, batch_stats, opt_state, img_u8, spd, cmd, control, rng):
+        x = img_u8.astype(jnp.float32) / 255.0
+        if with_aug:
+            x = augment(rng, x, 1000.0 * B, "super_hard", B)
+
+        def loss_fn(p):
+            (dist, speeds), updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x, spd, cmd, True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            return moe_loss(dist, speeds, control, spd, (0.7, 0.3)), updates
+
+        if not with_bwd:
+            loss, updates = loss_fn(params)
+            return params, updates["batch_stats"], opt_state, loss
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        if not with_opt:
+            # consume grads so they aren't DCE'd
+            gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+            return params, updates["batch_stats"], opt_state, loss + 0.0 * gsum
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        return params, updates["batch_stats"], opt_state, loss
+    return step
+
+
+def time_variant(name, model, B, *, steps=10, **kw):
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((B, 4, 224, 224, 3), jnp.uint8)
+    spd = jnp.zeros((B, 1), jnp.float32)
+    cmd = jnp.zeros((B, 6), jnp.float32)
+    ctl = jnp.zeros((B, 2), jnp.float32)
+    v = jit_init(model, {"params": rng}, img[:2].astype(jnp.float32),
+                 spd[:2], cmd[:2])
+    params, bs = v["params"], v.get("batch_stats", {})
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
+    opt = tx.init(params)
+    fn = make_step(model, tx, B, **kw)
+    try:
+        flops = op_counter(fn, params, bs, opt, img, spd, cmd, ctl,
+                           rng)["flops"]
+    except Exception:
+        flops = -1.0
+    step = jax.jit(fn, donate_argnums=(0, 1, 2))
+    params, bs, opt, loss = step(params, bs, opt, img, spd, cmd, ctl, rng)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, bs, opt, loss = step(params, bs, opt, img, spd, cmd, ctl,
+                                     jax.random.fold_in(rng, i))
+    _ = float(loss)
+    dt = (time.perf_counter() - t0) / steps
+    mfu = flops / dt / 197e12 if flops > 0 else -1
+    print(f"{name:28s} {dt * 1e3:8.1f} ms/step  {1 / dt:6.3f} steps/s  "
+          f"{flops / 1e12:6.2f} TF  MFU={mfu:.3f}", flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+    bench.health_check()
+    B = args.batch
+    cfg = bench._moe_cfg()
+    model = get_model(cfg, dtype=jnp.bfloat16)
+
+    time_variant("full (aug+fwd+bwd+opt)", model, B)
+    time_variant("no augmentation", model, B, with_aug=False)
+    time_variant("fwd only", model, B, with_bwd=False)
+    time_variant("fwd+bwd (no optimizer)", model, B, with_opt=False)
+    time_variant("full @ batch 128", model, 128)
+    model32 = get_model(cfg, dtype=jnp.float32)
+    time_variant("full fp32 compute", model32, B)
+
+
+if __name__ == "__main__":
+    main()
