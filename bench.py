@@ -156,7 +156,30 @@ def bench_stage3():
         flops = cost["flops"]
     except Exception:
         flops = -1.0
-    return steps_per_sec, flops
+    return steps_per_sec, flops + _scan_flops_correction(BATCH3)
+
+
+def _scan_flops_correction(batch: int, future_frames: int = 6,
+                           punet_fwd_per_step: int = 2) -> float:
+    """XLA cost analysis counts a lax.scan body ONCE regardless of trip
+    count, so the 6-step PU-Net rollout is undercounted by 5 bodies per
+    forward. Measure one rollout body as cost(future_frames=1) -
+    cost(future_frames=0) and add the missing (T'-1) bodies for each of the
+    learn step's punet forwards (target actor + actor)."""
+    from pmoe_tpu.models.punet import PredictiveUNet
+
+    try:
+        x = jnp.zeros((batch, 4, 224, 224, 3), jnp.float32)
+        costs = []
+        for ff in (0, 1):
+            pu = PredictiveUNet(past_frames=4, future_frames=ff,
+                                dtype=jnp.bfloat16)
+            v = jit_init(pu, {"params": jax.random.PRNGKey(0)}, x[:1])
+            costs.append(op_counter(lambda v, x: pu.apply(v, x), v, x)["flops"])
+        body = max(costs[1] - costs[0], 0.0)
+        return punet_fwd_per_step * (future_frames - 1) * body
+    except Exception:
+        return 0.0
 
 
 def bench_stage2():

@@ -128,6 +128,7 @@ class Agent:
         )
         self._learn_jit = jax.jit(self._learn_step)
         self._act_jit = jax.jit(self._act)
+        self._staged = None                 # double-buffered replay batch
 
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -227,13 +228,25 @@ class Agent:
         )
         return new_state, {"critic_loss": critic_loss, "actor_loss": actor_loss}
 
-    def learn(self):
+    def _stage_batch(self):
+        """Sample + start the async host->device upload of one replay batch."""
+        tr: Transition = self.memory.sample(self.batch_size)
+        return {k: jax.device_put(v) for k, v in tr._asdict().items()}
+
+    def learn(self, fetch_metrics: bool = True):
+        """One DDPG update. The NEXT batch's host->device transfer is staged
+        before this step's metrics are fetched, so the (large, uint8) replay
+        upload overlaps the device compute — double-buffered H2D, the
+        device-side analog of the trainer's DevicePrefetcher."""
         if len(self.memory) < self.batch_size:
             return None
-        tr: Transition = self.memory.sample(self.batch_size)
-        batch = {k: jnp.asarray(v) for k, v in tr._asdict().items()}
-        self.state, metrics = self._learn_jit(self.state, batch,
+        staged = self._staged if self._staged is not None else \
+            self._stage_batch()
+        self.state, metrics = self._learn_jit(self.state, staged,
                                               self._next_rng())
+        self._staged = self._stage_batch()      # uploads while step runs
+        if not fetch_metrics:
+            return metrics                      # device scalars, non-blocking
         return {k: float(v) for k, v in metrics.items()}
 
     def update_network_parameters(self, tau: float | None = None) -> None:
