@@ -44,6 +44,11 @@ def get_entry_point() -> str:
 class ImageAgent(AutonomousAgent):
     """Trained image agent (leaderboard plug-in)."""
 
+    #: compiled (model, step_fn) shared across instances — evaluators create
+    #: a fresh agent per episode (reference semantics) and a tunneled-TPU
+    #: recompile costs minutes
+    _step_cache: dict = {}
+
     def setup(self, config) -> None:
         self.track = Track.SENSORS
         self.num_frames = 0
@@ -52,41 +57,60 @@ class ImageAgent(AutonomousAgent):
         actor_cfg = self.config.model.actor
         self.n_commands = int(actor_cfg.get("n_commands", 4))
         self.n_frames = int(actor_cfg.backbone.get("n_frames", 4))
-        self.model = get_model(actor_cfg)
+        from ..utils import to_dict
+        import json
 
-        # init + restore
-        rng = jax.random.PRNGKey(0)
-        dummy = (jnp.zeros((1, self.n_frames, 224, 224, 3)),
-                 jnp.zeros((1, 1)), jnp.zeros((1, self.n_commands)))
-        variables = jit_init(self.model, {"params": rng, "sample": rng},
-                             *dummy)
-        model_dir = str(actor_cfg.get("model_dir", ""))
-        if model_dir and Path(model_dir).exists():
-            ck = load_checkpoint(model_dir)
-            variables = {
-                "params": graft(variables["params"], ck.get("model", ck)),
-                "batch_stats": (graft(variables.get("batch_stats", {}),
-                                      ck["batch_stats"])
-                                if "batch_stats" in ck
-                                else variables.get("batch_stats", {})),
-            }
+        cache_key = json.dumps(to_dict(actor_cfg), sort_keys=True,
+                               default=str)
+        cached = self._step_cache.get(cache_key)
+        self.model = cached[0] if cached else get_model(actor_cfg)
+
+        # init + restore. The grafted variables are cached with the compiled
+        # step (the cache key includes model_dir): evaluators build a fresh
+        # agent per episode, and re-initializing + re-reading the checkpoint
+        # every episode costs minutes on a tunneled chip.
+        if cached:
+            variables = cached[2]
+        else:
+            rng = jax.random.PRNGKey(0)
+            dummy = (jnp.zeros((1, self.n_frames, 224, 224, 3)),
+                     jnp.zeros((1, 1)), jnp.zeros((1, self.n_commands)))
+            variables = jit_init(self.model, {"params": rng, "sample": rng},
+                                 *dummy)
+            model_dir = str(actor_cfg.get("model_dir", ""))
+            if model_dir and Path(model_dir).exists():
+                ck = load_checkpoint(model_dir)
+                variables = {
+                    "params": graft(variables["params"], ck.get("model", ck)),
+                    "batch_stats": (graft(variables.get("batch_stats", {}),
+                                          ck["batch_stats"])
+                                    if "batch_stats" in ck
+                                    else variables.get("batch_stats", {})),
+                }
         self._variables = variables
 
         # device-resident ring buffer of normalized frames (1, T, H, W, 3)
         self._frames = jnp.zeros((1, self.n_frames, 224, 224, 3), jnp.float32)
         self._rng = jax.random.PRNGKey(2021)
 
-        @jax.jit
-        def _step(variables, frames, new_frame_u8, speed, command, rng):
-            """Roll the window, normalize the new frame on device, sample."""
-            frame = new_frame_u8.astype(jnp.float32) / 255.0
-            frames = jnp.concatenate([frames[:, 1:], frame[None, None]], axis=1)
-            action = self.model.apply(
-                variables, frames, speed, command, False,
-                method="sample", rngs={"sample": rng})
-            return frames, action[0]
+        if cached:
+            self._jit_step = cached[1]
+        else:
+            model = self.model
 
-        self._jit_step = _step
+            @jax.jit
+            def _step(variables, frames, new_frame_u8, speed, command, rng):
+                """Roll the window, normalize the new frame on device, sample."""
+                frame = new_frame_u8.astype(jnp.float32) / 255.0
+                frames = jnp.concatenate([frames[:, 1:], frame[None, None]],
+                                         axis=1)
+                action = model.apply(
+                    variables, frames, speed, command, False,
+                    method="sample", rngs={"sample": rng})
+                return frames, action[0]
+
+            self._jit_step = _step
+            self._step_cache[cache_key] = (self.model, _step, variables)
         self.waypointer = None
         self.vizs = []
         self.logger = (init_logger(self.config.logger)

@@ -33,10 +33,22 @@ class ScenarioTrigger:
 
 
 class ScenarioInjector:
-    """Trigger-based scripted adversaries (route_scenario's scenario tree)."""
+    """Trigger-based scripted adversaries (route_scenario's scenario tree).
+
+    Kinds (srunner analogs):
+    * ``crossing_walker``       — DynamicObjectCrossing: a pedestrian crosses
+      the road perpendicular to the route.
+    * ``stopped_vehicle``       — StationaryObjectCrossing / blocked lane.
+    * ``lead_vehicle_braking``  — FollowLeadingVehicle w/ brake: a slow
+      vehicle shuttles along the route ahead of the trigger.
+    * ``control_loss``          — ControlLoss: ~1.5 s of steering noise
+      injected into the ego's controls (backend-side).
+    """
 
     def __init__(self, route: Route, spacing: float = 80.0,
-                 kinds=("crossing_walker", "stopped_vehicle"), seed: int = 0):
+                 kinds=("crossing_walker", "stopped_vehicle",
+                        "lead_vehicle_braking", "control_loss"),
+                 seed: int = 0):
         rng = np.random.default_rng(seed)
         self.triggers: List[ScenarioTrigger] = []
         cum = np.concatenate([[0.0], np.cumsum(np.sqrt(
@@ -76,4 +88,16 @@ class ScenarioInjector:
                     a = trig.position + np.array([8.0, 0.0])
                     backend._npcs.append(_NPC("vehicle", a, a + 0.1,
                                               speed=0.0, phase=0.0))
+                elif trig.kind == "lead_vehicle_braking":
+                    # slow vehicle shuttling along the road ahead
+                    a = trig.position + np.array([12.0, 0.0])
+                    b = trig.position + np.array([40.0, 0.0])
+                    backend._npcs.append(_NPC("vehicle", a, b,
+                                              speed=2.0, phase=0.0))
+                elif trig.kind == "control_loss":
+                    # ~1.5 s of steering noise on the ego's controls
+                    if hasattr(backend, "inject_control_noise"):
+                        backend.inject_control_noise(
+                            duration=1.5,
+                            magnitude=float(self._rng.uniform(0.15, 0.4)))
         return fired

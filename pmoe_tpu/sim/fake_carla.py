@@ -211,6 +211,13 @@ class FakeCarlaBackend(DrivingBackend):
                                    phase=self._rng.uniform(0, 2)))
         return self._sensor_frame(collision=None)
 
+    def inject_control_noise(self, duration: float = 1.5,
+                             magnitude: float = 0.3) -> None:
+        """ControlLoss scenario hook (srunner scenarios/control_loss.py):
+        steering noise is added to the ego's controls for ``duration`` s."""
+        self._noise_until = self.t + duration
+        self._noise_mag = magnitude
+
     # -- dynamics ----------------------------------------------------------------
     def tick(self, control: VehicleControl) -> SensorFrame:
         e = self._ego
@@ -218,7 +225,10 @@ class FakeCarlaBackend(DrivingBackend):
                  - _MAX_BRAKE * float(np.clip(control.brake, 0, 1))
                  - _DRAG * e.speed)
         e.speed = max(0.0, e.speed + accel * SIM_DT)
-        steer = float(np.clip(control.steer, -1, 1)) * 0.5   # max wheel angle rad
+        steer_in = control.steer
+        if self.t < getattr(self, "_noise_until", 0.0):
+            steer_in += float(self._rng.normal(0.0, self._noise_mag))
+        steer = float(np.clip(steer_in, -1, 1)) * 0.5   # max wheel angle rad
         e.yaw += (e.speed / _WHEELBASE) * math.tan(steer) * SIM_DT
         e.x += e.speed * math.cos(e.yaw) * SIM_DT
         e.y += e.speed * math.sin(e.yaw) * SIM_DT

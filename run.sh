@@ -3,6 +3,9 @@
 # (/root/reference/run.sh:29-60), minus the CARLA PYTHONPATH plumbing (the
 # simulator seam is selected per-config via env.backend / --backend).
 export PYTHONPATH="$(dirname "$(readlink -f "$0")"):${PYTHONPATH}"
+# persistent XLA compile cache: tunneled-TPU compiles cost minutes; repeats hit disk
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/pmoe_tpu_xla}"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="${JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS:-1}"
 
 help() {
   echo "Usage: $0 COMMAND [args]"

@@ -479,3 +479,37 @@ def test_weather_evolves_during_episode():
         f = b.tick(VehicleControl())
     assert b.weather_state()["sun_altitude"] < alt0
     assert float(f.rgb.mean()) < m0                   # sun went down -> darker
+
+
+def test_control_loss_scenario_perturbs_steering():
+    """ControlLoss injection: the ego deviates under steering noise even with
+    zero commanded steer (srunner scenarios/control_loss.py analog)."""
+    from pmoe_tpu.eval import ScenarioInjector
+
+    def run(inject):
+        b = FakeCarlaBackend(render=False)
+        route = b.trace_route(0, 2)
+        b.reset(route, seed=1)
+        if inject:
+            b.inject_control_noise(duration=3.0, magnitude=0.5)
+        for _ in range(120):
+            b.tick(VehicleControl(throttle=0.6, steer=0.0))
+        e = b.ego_state()
+        return abs(e.x - 10.0)       # lateral deviation from the x=10 lane
+
+    assert run(True) > run(False) + 0.05
+
+
+def test_injector_covers_all_kinds():
+    from pmoe_tpu.eval import ScenarioInjector
+
+    backend = FakeCarlaBackend(render=False)
+    route = backend.trace_route(0, 3)
+    backend.reset(route)
+    inj = ScenarioInjector(route, spacing=40.0, seed=2)
+    kinds = {t.kind for t in inj.triggers}
+    assert len(kinds) >= 3           # several scenario types placed
+    # walk the route firing everything
+    for pos in route.positions[::10]:
+        inj.update(backend, pos)
+    assert all(t.fired for t in inj.triggers)
