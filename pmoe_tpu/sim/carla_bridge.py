@@ -66,6 +66,12 @@ class CarlaBackend(DrivingBackend):
         self._last_collision: Optional[CollisionEvent] = None
         self._ran_red = False
         self._was_before_light: dict = {}
+        # CarlaDataProvider analog: per-tick cached actor state + registry
+        # (reference srunner/scenariomanager/carla_data_provider.py:32-808)
+        from .data_provider import WorldStateProvider
+
+        self.provider = WorldStateProvider()
+        self.provider.set_spawn_points(self._spawn_transforms)
 
     # -- world --------------------------------------------------------------------
     def spawn_points(self) -> Sequence[Tuple[float, float]]:
@@ -117,6 +123,9 @@ class CarlaBackend(DrivingBackend):
                                  carla.Rotation(yaw=yaw))
         ego_bp = bp_lib.find("vehicle.lincoln.mkz2017")
         self._ego = self.world.spawn_actor(ego_bp, ego_tf)
+        self.provider.clear()
+        self.provider.register_actor(self._ego, role="hero")
+        self.provider.set_ego_route(route)
 
         cam_bp = bp_lib.find("sensor.camera.rgb")
         cam_bp.set_attribute("image_size_x", str(self.W))
@@ -149,6 +158,7 @@ class CarlaBackend(DrivingBackend):
             if actor is not None:
                 actor.set_autopilot(True)
                 self._actors.append(actor)
+                self.provider.register_actor(actor)
 
         self.world.tick()
         return self._sensor_frame()
@@ -177,6 +187,7 @@ class CarlaBackend(DrivingBackend):
         self.world.tick()
         self.frame += 1
         self.t += SIM_DT
+        self.provider.on_tick(self.frame)   # invalidate per-tick state cache
         self._ran_red = self._detect_red_light()
         return self._sensor_frame()
 
@@ -187,7 +198,7 @@ class CarlaBackend(DrivingBackend):
         state = tl.get_state()
         if state != self._carla.TrafficLightState.Red:
             return False
-        loc = self._ego.get_location()
+        loc = self.provider.get_location(self._ego)
         d = loc.distance(tl.get_location())
         key = tl.id
         was_before = self._was_before_light.get(key, True)
@@ -208,7 +219,7 @@ class CarlaBackend(DrivingBackend):
             self._stop_actors = list(
                 self.world.get_actors().filter("traffic.stop*"))
             self._stop_state = {}
-        loc = self._ego.get_location()
+        loc = self.provider.get_location(self._ego)
         spd = self.ego_state().speed
         violated = False
         for actor in self._stop_actors:
@@ -228,17 +239,18 @@ class CarlaBackend(DrivingBackend):
         within lane half-width of the ego."""
         if self._ego is None:
             return False
+        ego_loc = self.provider.get_location(self._ego)
         wp = self._map.get_waypoint(
-            self._ego.get_location(), project_to_road=True,
+            ego_loc, project_to_road=True,
             lane_type=self._carla.LaneType.Driving)
         if wp is None:
             return True
-        d = self._ego.get_location().distance(wp.transform.location)
+        d = ego_loc.distance(wp.transform.location)
         return d > max(wp.lane_width * 0.5 + 1.3, 3.0)
 
     def ego_state(self) -> EgoState:
-        tf = self._ego.get_transform()
-        vel = self._ego.get_velocity()
+        tf = self.provider.get_transform(self._ego)
+        vel = self.provider.get_velocity(self._ego)
         yaw = math.radians(tf.rotation.yaw)
         fwd = vel.x * math.cos(yaw) + vel.y * math.sin(yaw)
         return EgoState(tf.location.x, tf.location.y, yaw, max(fwd, 0.0))

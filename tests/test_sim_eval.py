@@ -513,3 +513,42 @@ def test_injector_covers_all_kinds():
     for pos in route.positions[::10]:
         inj.update(backend, pos)
     assert all(t.fired for t in inj.triggers)
+
+
+def test_world_state_provider_caches_per_tick():
+    """CarlaDataProvider semantics: within one tick every get_* hits the
+    cache (one RPC per actor per tick); on_tick invalidates."""
+    from pmoe_tpu.sim.data_provider import WorldStateProvider
+
+    class MockActor:
+        def __init__(self, aid):
+            self.id = aid
+            self.calls = 0
+
+        def get_location(self):
+            self.calls += 1
+            return (1.0 * self.calls, 0.0, 0.0)
+
+        def get_velocity(self):
+            self.calls += 1
+            return (0.0, 0.0, 0.0)
+
+        def get_transform(self):
+            self.calls += 1
+            return "tf"
+
+    p = WorldStateProvider()
+    ego = MockActor(1)
+    p.register_actor(ego, role="hero")
+    p.on_tick(1)
+    a = p.get_location(ego)
+    b = p.get_location(ego)
+    assert a == b and ego.calls == 1          # cached within the tick
+    p.on_tick(2)
+    c = p.get_location(ego)
+    assert c != a and ego.calls == 2          # invalidated across ticks
+    assert p.get_actor_by_role("hero") is ego
+    p.set_ego_route("route")
+    assert p.get_ego_route() == "route"
+    p.clear()
+    assert p.actors() == []

@@ -104,3 +104,41 @@ def test_stage2_moe_one_epoch(synthetic_root, tmp_path, tiny_moe_cfg):
     val = learner.validate()
     assert np.isfinite(val["val_loss"])
     assert (tmp_path / "ckpt" / "MoE-best.ckpt").exists()
+
+
+def test_stage3_one_episode(tmp_path, tiny_moe_cfg):
+    """The stage-3 trainer loop end-to-end on the fake backend: env reset ->
+    OU-noised sample -> remember -> jitted DDPG learn -> checkpoint. The
+    reference ships this stage broken (missing env modules, SURVEY §2.4)."""
+    from pmoe_tpu.trainer.train_3 import train
+    from pmoe_tpu.utils import Config
+
+    mlp = lambda dims: {"dims": dims, "act": "relu", "l_act": False,
+                        "bn": False, "dropout": 0.0}
+    actor = dict(tiny_moe_cfg, lr=1e-4, exclude_freeze=[], model_dir="")
+    critic = {
+        "lr": 1e-3,
+        "backbone": actor["backbone"],
+        "speed_encoder": mlp([1, 16, 64]),
+        "command_encoder": mlp([4, 16, 64]),
+        "action_encoder": mlp([2, 16, 64]),
+        "value_prediction": mlp([704, 32, 1]),
+    }
+    cfg = Config({
+        "train_params": {"max_episodes": 1, "episode_length": 10,
+                         "n_commands": 4},
+        "env": {"backend": "fake", "town": "Town01", "img_width": 160,
+                "img_height": 120},
+        "logger": {"disabled": True},
+        "dataset": {"crop": [20, 20], "resize": [32, 32],
+                    "speed_factor": 10},
+        "directory": {"save": str(tmp_path), "model_name": "rl"},
+        "model": {"tau": 0.01, "buffer_size": 64, "batch_size": 4,
+                  "gamma": 0.9,
+                  "OU": {"mu": [0.0, 0.0], "sigma": [0.3, 0.1],
+                         "theta": [0.6, 0.15]},
+                  "actor": actor, "critic": critic},
+    })
+    agent = train(cfg)
+    assert len(agent.memory) == 10          # one full episode remembered
+    assert (tmp_path / "rl-e0.ckpt").exists()
