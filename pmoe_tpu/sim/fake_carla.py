@@ -323,7 +323,13 @@ class FakeCarlaBackend(DrivingBackend):
             seg=seg,
         )
 
-    def _render_camera(self):
+    def render_stitch(self, yaw_offsets=(-1.0472, 0.0, 1.0472)):
+        """3-camera panorama (reference StitchCameraReader,
+        sensor_interface.py:53-154): one render per yaw offset, hstacked."""
+        views = [self._render_camera(yaw_offset=y)[0] for y in yaw_offsets]
+        return np.concatenate(views, axis=1)
+
+    def _render_camera(self, yaw_offset: float = 0.0):
         """Cheap ground-plane projection: sky / grass / road band.
 
         Fully vectorized; gives the vision stack real structure (horizon, road
@@ -345,7 +351,8 @@ class FakeCarlaBackend(DrivingBackend):
 
         # project road points ahead of ego onto the image
         e = self._ego
-        cos_y, sin_y = math.cos(-e.yaw), math.sin(-e.yaw)
+        cam_yaw = e.yaw + yaw_offset
+        cos_y, sin_y = math.cos(-cam_yaw), math.sin(-cam_yaw)
         f = 0.9 * W                                     # focal (pixels)
 
         def project(world_xy):

@@ -162,7 +162,8 @@ class SensorHub:
     through pseudo-sensor reader threads (reference :241-319)."""
 
     def __init__(self, timeout: float = 10.0, with_camera: bool = True,
-                 birdview_fn: Optional[Callable] = None):
+                 birdview_fn: Optional[Callable] = None,
+                 stitch_fn: Optional[Callable] = None):
         self.iface = SensorInterface(timeout=timeout)
         self.with_camera = with_camera
         if with_camera:
@@ -180,6 +181,10 @@ class SensorHub:
             # birdview rasterizer runs in its own reader thread
             self.readers.append(
                 PseudoSensorReader(self.iface, "BIRDVIEW", birdview_fn))
+        if stitch_fn is not None:
+            # StitchCameraReader analog (reference sensor_interface.py:53-154)
+            self.readers.append(
+                PseudoSensorReader(self.iface, "STITCH_RGB", stitch_fn))
 
     @classmethod
     def for_agent(cls, agent, backend, route=None, timeout: float = 10.0,
@@ -198,9 +203,13 @@ class SensorHub:
             from .birdview import render_birdview
 
             birdview_fn = lambda f: render_birdview(backend, route)
+        stitch_fn = None
+        if any(s.get("type") == "sensor.stitch_camera.rgb" for s in sensors) \
+                and hasattr(backend, "render_stitch"):
+            stitch_fn = lambda f: backend.render_stitch()[..., ::-1]  # BGR
         return cls(timeout=timeout,
                    with_camera=wants_camera and has_camera,
-                   birdview_fn=birdview_fn)
+                   birdview_fn=birdview_fn, stitch_fn=stitch_fn)
 
     def on_frame(self, frame: SensorFrame) -> None:
         """Dispatch one synchronous tick's sensor payloads."""

@@ -552,3 +552,30 @@ def test_world_state_provider_caches_per_tick():
     assert p.get_ego_route() == "route"
     p.clear()
     assert p.actors() == []
+
+
+def test_stitch_camera_panorama():
+    """3-camera panorama pseudo-sensor (reference StitchCameraReader)."""
+    b = FakeCarlaBackend(img_width=120, img_height=90)
+    b.reset(b.trace_route(0, 2))
+    pano = b.render_stitch()
+    assert pano.shape == (90, 360, 3)
+    # the three views differ (yaw offsets see different scenery)
+    left, center, right = pano[:, :120], pano[:, 120:240], pano[:, 240:]
+    assert not np.array_equal(left, center)
+    assert not np.array_equal(center, right)
+
+    from pmoe_tpu.sim.sensor_interface import SensorHub
+
+    class StitchAgent(FollowAgent):
+        def sensors(self):
+            return [{"type": "sensor.stitch_camera.rgb", "id": "STITCH_RGB"},
+                    {"type": "sensor.other.gnss", "id": "GPS"}]
+
+    hub = SensorHub.for_agent(StitchAgent(None), b)
+    try:
+        hub.on_frame(b.tick(VehicleControl()))
+        data = hub.get_data()
+        assert data["STITCH_RGB"][1].shape == (90, 360, 3)
+    finally:
+        hub.stop()
