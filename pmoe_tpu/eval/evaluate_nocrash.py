@@ -97,6 +97,9 @@ def main(argv=None):
     parser.add_argument("--max-ticks", type=int, default=None)
     parser.add_argument("--routes", type=int, default=None,
                         help="limit the number of routes")
+    parser.add_argument("--suite", default=None,
+                        help="suite file of 'start target' spawn pairs "
+                             "(reference runners/suite format)")
     parser.add_argument("--workers", type=int, default=1,
                         help="parallel episode workers (Ray-fleet analog)")
     args = parser.parse_args(argv)
@@ -105,8 +108,11 @@ def main(argv=None):
     backend = make_backend(args.backend, args.town, cfg)
     stats = NoCrashStatisticsManager(args.log_dir, args.town, args.weather,
                                      resume=args.resume)
+    from .nocrash import load_suite
+
+    routes = load_suite(args.suite) if args.suite else None
     evaluator = NoCrashEvaluator(backend, stats, weather_group=args.weather,
-                                 max_ticks=args.max_ticks)
+                                 routes=routes, max_ticks=args.max_ticks)
     if args.routes is not None:
         evaluator.routes = evaluator.routes[:args.routes]
 

@@ -29,7 +29,7 @@ from .manager import run_episode
 from .statistics import NoCrashStatisticsManager
 
 __all__ = ["NoCrashEvaluator", "WEATHERS", "TRAFFIC_TABLES",
-           "build_input_data"]
+           "build_input_data", "load_suite", "default_suite_path"]
 
 # weather-preset indices (reference nocrash_eval_scenario.py:30-37)
 WEATHERS = {1: "ClearNoon", 3: "WetNoon", 6: "HardRainNoon",
@@ -41,6 +41,26 @@ TRAFFIC_TABLES = {
     "Town01": {"cars": [0, 20, 100], "peds": [0, 50, 200]},
     "Town02": {"cars": [0, 15, 70], "peds": [0, 50, 150]},
 }
+
+
+def load_suite(path) -> List[Tuple[int, int]]:
+    """Parse a NoCrash suite file: one 'start_idx target_idx' spawn pair per
+    line (the reference's runners/suite/nocrash_<town>.txt format)."""
+    routes = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                routes.append((int(parts[0]), int(parts[1])))
+    return routes
+
+
+def default_suite_path(town: str):
+    from pathlib import Path
+
+    p = (Path(__file__).resolve().parent.parent / "assets" / "suites"
+         / f"nocrash_{town}.txt")
+    return p if p.exists() else None
 
 
 def build_input_data(frame: SensorFrame) -> dict:
@@ -69,10 +89,18 @@ class NoCrashEvaluator:
         self.sensor_hub = sensor_hub        # injectable for failure tests
         self.weathers = (TRAIN_WEATHERS if weather_group == "train"
                          else TEST_WEATHERS)
-        n_spawn = len(backend.spawn_points())
-        self.routes: List[Tuple[int, int]] = list(
-            routes if routes is not None
-            else [(i, (i + 5) % n_spawn) for i in range(0, n_spawn, 3)])
+        if routes is not None:
+            self.routes: List[Tuple[int, int]] = list(routes)
+        else:
+            # suite file (reference runners/suite/nocrash_<town>.txt), else
+            # fabricated spawn pairs
+            suite = default_suite_path(backend.town)
+            if suite is not None:
+                self.routes = load_suite(suite)
+            else:
+                n_spawn = len(backend.spawn_points())
+                self.routes = [(i, (i + 5) % n_spawn)
+                               for i in range(0, n_spawn, 3)]
         self.max_ticks = max_ticks
         self.verbose = verbose
 

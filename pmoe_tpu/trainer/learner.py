@@ -126,7 +126,7 @@ class BaseLearner:
     def model_name(self) -> str:
         return self.cfg.get("directory", {}).get("model_name", self.stage)
 
-    def checkpoint_state(self) -> dict:
+    def checkpoint_state(self, to_numpy: bool = True) -> dict:
         state = {
             "epoch": np.int64(self.epoch),
             "iteration": np.int64(self.iteration),
@@ -139,11 +139,30 @@ class BaseLearner:
             state["swa_n"] = np.asarray(self.state.swa_n)
         # opt_state is an optax pytree of namedtuples: store flattened leaves
         leaves = jax.tree_util.tree_leaves(self.state.opt_state)
-        state["opt_leaves"] = {str(i): np.asarray(l) for i, l in enumerate(leaves)}
+        conv = np.asarray if to_numpy else (lambda l: l)
+        state["opt_leaves"] = {str(i): conv(l) for i, l in enumerate(leaves)}
         return state
+
+    @property
+    def _orbax(self):
+        """Lazy orbax store when ``directory.format: orbax`` is configured —
+        async, per-shard, sharding-preserving checkpoints for multi-chip runs
+        (the msgpack default keeps the reference's file naming semantics)."""
+        if getattr(self, "_orbax_store", None) is None:
+            from ..utils.orbax_io import OrbaxStore
+
+            self._orbax_store = OrbaxStore(self.save_dir)
+        return self._orbax_store
 
     def save(self, is_best: bool, suffix: str = "") -> None:
         name = f"{self.model_name}-e{self.epoch}{suffix}"
+        if self.cfg.get("directory", {}).get("format", "") == "orbax":
+            # async: device arrays stream per-shard while training continues
+            state = self.checkpoint_state(to_numpy=False)
+            self._orbax.save(name, state)
+            if is_best:
+                self._orbax.save(f"{self.model_name}-best", state)
+            return
         save_checkpoint(self.checkpoint_state(), is_best, self.save_dir, name,
                         best_prefix=self.model_name)
 
@@ -153,7 +172,13 @@ class BaseLearner:
         load = self.cfg.get("directory", {}).get("load", "")
         if not load or not Path(load).exists():
             return
-        ck = load_checkpoint(load)
+        if Path(load).is_dir():            # orbax checkpoint directory
+            from ..utils.orbax_io import OrbaxStore
+
+            store = OrbaxStore(Path(load).parent)
+            ck = store.restore(Path(load).name)
+        else:
+            ck = load_checkpoint(load)
         self.restore_from(ck)
         print(f"[{self.stage}] resumed from {load} at epoch {self.epoch}")
 
@@ -229,6 +254,8 @@ class BaseLearner:
             self.recalibrate_swa_bn()
             self.save(False, suffix="-swa")
         self.log_op_cost()
+        if getattr(self, "_orbax_store", None) is not None:
+            self._orbax_store.wait()       # pending async saves -> durable
         self.logger.end()
 
     def recalibrate_swa_bn(self, max_batches: int = 50) -> None:

@@ -579,3 +579,17 @@ def test_stitch_camera_panorama():
         assert data["STITCH_RGB"][1].shape == (90, 360, 3)
     finally:
         hub.stop()
+
+
+def test_nocrash_suite_files():
+    """Route suites load from the reference's one-pair-per-line format and
+    back the evaluator's default route list."""
+    from pmoe_tpu.eval.nocrash import default_suite_path, load_suite
+
+    p = default_suite_path("Town01")
+    assert p is not None
+    routes = load_suite(p)
+    assert len(routes) >= 8 and all(len(r) == 2 for r in routes)
+    backend = FakeCarlaBackend(render=False)
+    ev = NoCrashEvaluator(backend, None, verbose=False)
+    assert ev.routes == routes
