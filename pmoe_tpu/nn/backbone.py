@@ -8,9 +8,11 @@ alternative (backbone.py:28-45): a (usually pretrained) U-Net with
 entry; pretrained weights are grafted in at checkpoint-restore time by the
 caller (JAX modules are pure, so weight loading lives outside the module).
 
-``pretrained=True`` has no torchvision weight bank on TPU; it is accepted for
-config compatibility and ignored (weights come from checkpoints via
-``pmoe_tpu.utils.io.graft``).
+``pretrained=True`` is honored at the trainer level: JAX modules are pure, so
+ImageNet weights (an exported torchvision state_dict at
+``backbone.rgb.weights_path``) are grafted into the initialized params by
+``pmoe_tpu.utils.torch_compat.load_pretrained_backbone`` (see
+trainer/train_2.py). The module itself carries no weight-loading state.
 """
 
 from __future__ import annotations
@@ -56,7 +58,7 @@ class TinyBackbone(nn.Module):
 def get_backbone(
     arch: str = "resnet18",
     n_frames: int = 4,
-    pretrained: bool = False,   # accepted for YAML compatibility; see module docstring
+    pretrained: bool = False,   # weights grafted by the trainer; see module docstring
     gamma: int = 2,
     b: int = 1,
     n_channels: int = 3,

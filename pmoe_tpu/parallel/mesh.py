@@ -15,6 +15,16 @@ first-class capability:
 Shardings are expressed with ``NamedSharding`` and applied via ``jax.jit``
 in/out shardings + ``jax.lax.with_sharding_constraint`` — we never hand-write
 collectives for the train step; XLA lays them on ICI.
+
+Why only (data, expert) axes: the PMoE model family is conv-dominated with
+<= ~40 M params per replica — tensor parallelism would shard 3x3 convs whose
+per-device tiles fall below MXU efficiency, and pipeline parallelism has
+nothing to pipeline (the whole model fits one chip with room for batch 128).
+Sequence "length" is T=4 frames folded into channels (SURVEY §5: no
+attention, no ring/Ulysses analog warranted). DP carries the batch; EP
+shards the only weight-disjoint axis (the stacked experts). Both compose on
+one mesh and are exercised by tests/test_sharding.py and the driver's
+dryrun_multichip.
 """
 
 from __future__ import annotations
