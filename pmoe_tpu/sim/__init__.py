@@ -6,7 +6,16 @@ from .sensor_interface import (SensorInterface, SensorHub, PseudoSensorReader,
                                SensorConfigurationInvalid, validate_sensors)
 from .birdview import render_birdview, BIRDVIEW_CHANNELS
 from .data_provider import WorldStateProvider
-from .env import DrivingGym, postprocess_action
+
+
+def __getattr__(name):
+    # lazy: env imports eval.criteria, which imports sim.interface — an eager
+    # import here would make `import pmoe_tpu.eval` circular
+    if name in ("DrivingGym", "postprocess_action"):
+        from . import env
+
+        return getattr(env, name)
+    raise AttributeError(name)
 
 __all__ = [
     "RoadOption", "VehicleControl", "EgoState", "CollisionEvent",

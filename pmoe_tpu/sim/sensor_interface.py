@@ -143,8 +143,13 @@ class PseudoSensorReader:
             frame = self._pending
             if frame is None or self._dead:
                 continue
-            self._iface.update_sensor(self._tag, frame.frame,
-                                      self._read_fn(frame))
+            try:
+                self._iface.update_sensor(self._tag, frame.frame,
+                                          self._read_fn(frame))
+            except Exception as e:       # surfaces as SensorReceivedNoData;
+                self._dead = True        # log the root cause first
+                print(f"[sensor] reader {self._tag!r} died: "
+                      f"{type(e).__name__}: {e}")
 
     def kill(self) -> None:
         self._dead = True

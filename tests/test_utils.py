@@ -123,3 +123,29 @@ def test_stop_gradient_frozen_prunes_grads():
     g = jax.grad(loss)(params)
     np.testing.assert_allclose(np.asarray(g["alpha"]["kernel"]), 2.0)
     np.testing.assert_allclose(np.asarray(g["backbone"]["kernel"]), 0.0)
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    """profiling.trace captures a TensorBoard-loadable profile."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmoe_tpu.utils import profiling
+
+    with profiling.trace(str(tmp_path)):
+        _ = jax.jit(lambda x: x @ x)(jnp.ones((64, 64))).block_until_ready()
+    files = list(tmp_path.rglob("*"))
+    assert any(f.is_file() for f in files), "no trace artifacts written"
+
+
+def test_step_timer_summary():
+    import jax.numpy as jnp
+
+    from pmoe_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    for _ in range(3):
+        t.start()
+        t.stop(probe=jnp.ones(()))
+    s = t.summary()
+    assert s["steps"] == 3 and s["mean_ms"] >= 0.0
