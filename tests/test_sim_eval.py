@@ -593,3 +593,31 @@ def test_nocrash_suite_files():
     backend = FakeCarlaBackend(render=False)
     ev = NoCrashEvaluator(backend, None, verbose=False)
     assert ev.routes == routes
+
+
+def test_watchdog_detects_simulator_hang():
+    """A backend that stops ticking trips the watchdog, which surfaces as a
+    RuntimeError (reference scenario_manager.py:64-70 hang detection)."""
+    import time
+    from pmoe_tpu.eval import run_episode
+    from pmoe_tpu.eval.criteria import CriteriaTree, RouteCompletionTest
+
+    backend = FakeCarlaBackend(render=False)
+    route = backend.trace_route(0, 2)
+    frame = backend.reset(route)
+    orig_tick = backend.tick
+    calls = {"n": 0}
+
+    def hanging_tick(control):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            time.sleep(6.0)           # simulator freeze
+        return orig_tick(control)
+
+    backend.tick = hanging_tick
+    agent = FollowAgent(None)
+    agent.set_global_plan(route.gps_plan())
+    criteria = CriteriaTree([RouteCompletionTest(route)])
+    with pytest.raises(RuntimeError, match="stopped ticking"):
+        run_episode(backend, agent, criteria, frame, max_ticks=50,
+                    watchdog_timeout=1.0)
