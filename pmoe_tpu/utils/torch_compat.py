@@ -160,6 +160,31 @@ def unet_from_torch(sd: SD, prefix: str = ""):
     return params, stats
 
 
+def unet_eca_from_torch(sd: SD, prefix: str = ""):
+    """UNetECA tree (reference unet.py:98-185): the UNet mapping plus the
+    five ECA gates (bottleneck + each skip-merge)."""
+    params, stats = unet_from_torch(sd, prefix)
+    prefix = _dot(prefix)
+    for i in range(5):
+        params[f"eca_{i}"] = eca_from_torch(sd, f"{prefix}eca_{i}")
+    return params, stats
+
+
+def punet_from_torch(sd: SD, prefix: str = ""):
+    """Full PredictiveUnet tree (reference punet.py:12-120): frozen seg
+    ``unet``, plus the trainable rollout pair ``entry_block`` + ``pred_unet``
+    (scanned in our implementation, so they live under the 'rollout' scope
+    with no leading axis — params are broadcast across scan steps)."""
+    prefix = _dot(prefix)
+    params, stats = {}, {}
+    params["unet"], stats["unet"] = unet_from_torch(sd, f"{prefix}unet.")
+    ep, es = efficient_conv_block_from_torch(sd, f"{prefix}entry_block.")
+    pp, ps = unet_from_torch(sd, f"{prefix}pred_unet.")
+    params["rollout"] = {"entry_block": ep, "pred_unet": pp}
+    stats["rollout"] = {"entry_block": es, "pred_unet": ps}
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # torchvision ImageNet backbones
 # ---------------------------------------------------------------------------

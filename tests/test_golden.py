@@ -182,3 +182,40 @@ def test_mixture_log_prob_and_action_losses():
         np.asarray(L.pmoe_loss(rec["actions"], None, rec["actions_gt"], None,
                                (1.0, 0.0))),
         rec["pmoe_loss"], rtol=RTOL, atol=ATOL)
+
+
+def test_punet_rollout_matches_reference(manifest):
+    """Full PredictiveUnet parity: batched frozen seg pass + nn.scan rollout
+    vs the reference's per-frame loop + deque (punet.py:88-120) — same
+    weights, same 2-step future-mask logits within fp32 tolerance."""
+    from pmoe_tpu.models.punet import PredictiveUNet
+
+    sd = state_dict_for(manifest["punet"])
+    params, stats = tc.punet_from_torch(sd)
+    rec = load_outputs("punet")
+    m = PredictiveUNet(past_frames=4, future_frames=2, in_features=3,
+                       num_classes=23)
+    x = np.transpose(rec["x"], (0, 1, 3, 4, 2))            # (B,T,H,W,C)
+    outs = m.apply({"params": params, "batch_stats": stats}, x, False)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(outs), (0, 1, 4, 2, 3)),    # -> (B,T,C,H,W)
+        rec["outs"], rtol=2e-4, atol=2e-4)
+
+
+def test_unet_eca_matches_reference(manifest):
+    """UNetECA parity: halved channels + ECA gates at the bottleneck and each
+    skip merge (reference unet.py:98-185); note the reference's bottleneck
+    gate is declared for 512 channels but applied to 256 — the kernel-size
+    formula happens to coincide (k=5), which this test pins down."""
+    from pmoe_tpu.nn.unet import UNetECA
+
+    sd = state_dict_for(manifest["unet_eca"])
+    params, stats = tc.unet_eca_from_torch(sd)
+    rec = load_outputs("unet_eca")
+    m = UNetECA(in_features=3, out_features=23, inter_repr=True)
+    pooled, logits = m.apply({"params": params, "batch_stats": stats},
+                             nhwc(rec["x"]), False)
+    np.testing.assert_allclose(np.asarray(pooled), rec["pooled"], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(nchw(np.asarray(logits)), rec["logits"],
+                               rtol=1e-4, atol=1e-4)

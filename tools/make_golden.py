@@ -95,6 +95,30 @@ def main() -> None:
     x = image_for("unet_odd", (1, 3, 50, 50))
     save_outputs("unet_odd", x=x, logits=m(torch.from_numpy(x)).numpy())
 
+    from model.blocks.unet import UNetECA
+
+    m = UNetECA(in_features=3, out_features=23, inter_repr=True).eval()
+    manifests["unet_eca"] = fill(m)
+    x = image_for("unet_eca", (1, 3, 48, 48))
+    pooled, logits = m(torch.from_numpy(x))
+    save_outputs("unet_eca", x=x, pooled=pooled.numpy(),
+                 logits=logits.numpy())
+
+    # -- full PU-Net autoregressive rollout -----------------------------------
+    # (deque/concat frame ordering, entry block fusion, BN-eval rollout)
+    from model.punet import PredictiveUnet
+    import tempfile
+
+    seed_unet = UNet(in_features=3, out_features=23)
+    with tempfile.NamedTemporaryFile(suffix=".pth") as tf:
+        torch.save({"unet": seed_unet.state_dict()}, tf.name)
+        m = PredictiveUnet(past_frames=4, future_frames=2, in_features=3,
+                           num_classes=23, model_name="unet",
+                           model_path=tf.name).eval()
+    manifests["punet"] = fill(m)
+    x = image_for("punet", (1, 4, 3, 32, 32))
+    save_outputs("punet", x=x, outs=m(torch.from_numpy(x)).numpy())
+
     # -- losses --------------------------------------------------------------
     logits = normal_for("loss_logits", (2, 23, 16, 16))
     mask = mask_for("loss_mask", (2, 16, 16))
