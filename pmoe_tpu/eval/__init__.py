@@ -12,6 +12,9 @@ from .route_parser import parse_routes_file, interpolate_route, downsample_route
 from .scenarios import ScenarioInjector, ScenarioTrigger
 from .parallel_runner import ParallelEvalRunner, EvalTask
 from .watchdog import Watchdog, GameTime
+from .behaviors import (BasicScenario, FollowLeadingVehicle,
+                        DynamicObjectCrossing, ControlLoss,
+                        SCENARIO_CLASSES)
 from .view_results import view_results
 from ..sim.sensor_interface import AgentError, SensorReceivedNoData
 
@@ -26,4 +29,6 @@ __all__ = [
     "downsample_route", "ScenarioInjector", "ScenarioTrigger",
     "ParallelEvalRunner", "EvalTask", "Watchdog", "GameTime",
     "AgentError", "SensorReceivedNoData",
+    "BasicScenario", "FollowLeadingVehicle", "DynamicObjectCrossing",
+    "ControlLoss", "SCENARIO_CLASSES",
 ]

@@ -19,6 +19,7 @@ help() {
   echo "  nocrash TOWN WEATHER   run the NoCrash benchmark (Town01|Town02, train|test)"
   echo "  view_benchmark [DIR]   print benchmark results tables"
   echo "  collect [args]         collect training episodes (noisy expert)"
+  echo "  scenario [args]        run one scenario class standalone (srunner CLI analog)"
   echo "  bench                  run the perf benchmark (bench.py)"
   echo "  -h | --help            show this help"
 }
@@ -32,6 +33,7 @@ case "$1" in
   nocrash)         shift; python -m pmoe_tpu.eval.evaluate_nocrash --town "${1:-Town01}" --weather "${2:-train}" "${@:3}" ;;
   view_benchmark)  shift; python -m pmoe_tpu.eval.view_results "$@" ;;
   collect)         shift; python -m pmoe_tpu.agents.collect "$@" ;;
+  scenario)        shift; python -m pmoe_tpu.eval.scenario_cli "$@" ;;
   bench)           python bench.py ;;
   -h|--help|*)     help ;;
 esac

@@ -621,3 +621,37 @@ def test_watchdog_detects_simulator_hang():
     with pytest.raises(RuntimeError, match="stopped ticking"):
         run_episode(backend, agent, criteria, frame, max_ticks=50,
                     watchdog_timeout=1.0)
+
+
+@pytest.mark.parametrize("name", ["FollowLeadingVehicle",
+                                  "DynamicObjectCrossing", "ControlLoss"])
+def test_scenario_classes_run_to_success(name):
+    """Behavior-tree scenario classes (srunner scenario subset) complete with
+    a scripted ego and spawn their actors (eval/behaviors.py)."""
+    from pmoe_tpu.eval.behaviors import SCENARIO_CLASSES, Status
+    from pmoe_tpu.eval.scenario_cli import ScriptedFollowAgent, run_scenario
+
+    backend = FakeCarlaBackend(render=False)
+    scenario, result = run_scenario(
+        backend, SCENARIO_CLASSES[name], ScriptedFollowAgent(None),
+        max_ticks=2500, verbose=False)
+    assert scenario.status == Status.SUCCESS
+    if name != "ControlLoss":
+        assert backend._npcs            # scenario spawned its adversary
+
+
+def test_behavior_tree_composites():
+    from pmoe_tpu.eval.behaviors import (Idle, Parallel, Sequence, Status,
+                                         WaitForSeconds)
+
+    b = FakeCarlaBackend(render=False)
+    b.reset(b.trace_route(0, 1))
+    ego = b.ego_state()
+    seq = Sequence([WaitForSeconds(0.1), WaitForSeconds(0.1)])
+    ticks = 0
+    while seq.tick(b, ego) == Status.RUNNING:
+        ticks += 1
+    assert 2 <= ticks <= 5              # two 2-tick waits
+    par = Parallel([Idle(), WaitForSeconds(0.1)], success_on_one=True)
+    assert par.tick(b, ego) == Status.RUNNING   # 0.1 s = 2 ticks at 20 Hz
+    assert par.tick(b, ego) == Status.SUCCESS
