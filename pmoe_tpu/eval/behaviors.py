@@ -8,13 +8,26 @@ behavior tree (Sequence / Parallel composites + atomic behaviors and trigger
 conditions) and :class:`BasicScenario` subclasses that assemble behaviors
 with the criteria from :mod:`pmoe_tpu.eval.criteria`.
 
-Implemented scenario classes (srunner analogs):
-* :class:`FollowLeadingVehicle`  — a lead vehicle drives ahead, brakes, and
-  resumes (srunner/scenarios/follow_leading_vehicle.py).
-* :class:`DynamicObjectCrossing` — a pedestrian crosses the road when the ego
-  approaches (srunner/scenarios/object_crash_vehicle.py).
-* :class:`ControlLoss`           — steering noise for a short window
-  (srunner/scenarios/control_loss.py).
+Implemented scenario classes (srunner analogs — the full upstream
+`srunner/scenarios/` surface minus the route/master scaffolds, which live in
+the evaluators, and OpenSCENARIO, which lives in ``eval/openscenario.py``):
+
+* :class:`FollowLeadingVehicle`   — follow_leading_vehicle.py:34
+* :class:`DynamicObjectCrossing`  — object_crash_vehicle.py (dynamic variant)
+* :class:`StationaryObjectCrossing` — object_crash_vehicle.py (static variant)
+* :class:`ControlLoss`            — control_loss.py:33
+* :class:`CutIn`                  — cut_in.py:32
+* :class:`ChangeLane`             — change_lane.py:36
+* :class:`OtherLeadingVehicle`    — other_leading_vehicle.py:33
+* :class:`ManeuverOppositeDirection` — maneuver_opposite_direction.py:32
+* :class:`OppositeVehicleRunningRedLight` — opposite_vehicle_taking_priority.py:36
+* :class:`NoSignalJunctionCrossing`  — no_signal_junction_crossing.py:28
+* :class:`SignalizedJunctionLeftTurn` / `...RightTurn` —
+  signalized_junction_{left,right}_turn.py
+* :class:`VehicleTurningRight` / `VehicleTurningLeft` —
+  object_crash_intersection.py:107,274
+* :class:`FreeRide`               — freeride.py
+* :class:`BackgroundActivity`     — background_activity.py
 
 Run standalone with ``python -m pmoe_tpu.eval.scenario_cli``.
 """
@@ -26,14 +39,20 @@ from typing import List, Optional, Sequence as Seq
 
 import numpy as np
 
-from ..sim.interface import SIM_DT, EgoState, Route
+from ..sim.interface import SIM_DT, EgoState, RoadOption, Route
 from .criteria import CollisionTest, CriteriaTree, RouteCompletionTest
 
 __all__ = ["Status", "Behavior", "Sequence", "Parallel", "Idle",
-           "TriggerOnDistance", "WaitForSeconds", "SpawnNPC", "SetNPCSpeed",
-           "InjectControlNoise", "DriveDistance", "BasicScenario",
-           "FollowLeadingVehicle", "DynamicObjectCrossing", "ControlLoss",
-           "SCENARIO_CLASSES"]
+           "TriggerOnDistance", "TriggerOnVehicleDistance", "WaitForSeconds",
+           "SpawnNPC", "SetNPCSpeed", "SetNPCPath", "RemoveNPC", "SyncArrival",
+           "WaitUntilGreen", "InjectControlNoise", "DriveDistance",
+           "BasicScenario", "FollowLeadingVehicle", "DynamicObjectCrossing",
+           "StationaryObjectCrossing", "ControlLoss", "CutIn", "ChangeLane",
+           "OtherLeadingVehicle", "ManeuverOppositeDirection",
+           "OppositeVehicleRunningRedLight", "NoSignalJunctionCrossing",
+           "SignalizedJunctionLeftTurn", "SignalizedJunctionRightTurn",
+           "VehicleTurningRight", "VehicleTurningLeft", "FreeRide",
+           "BackgroundActivity", "SCENARIO_CLASSES"]
 
 
 class Status(enum.Enum):
@@ -156,13 +175,100 @@ class SetNPCSpeed(Behavior):
         npc = self.spawner.npc
         if npc is None:
             return Status.FAILURE
-        pos = npc.position(backend.t)
-        seg = npc.b - npc.a
-        npc.a = pos
-        npc.b = pos + seg
-        npc.phase = 0.0
-        npc.speed = self.speed
+        npc.retarget(backend.t, speed=self.speed)
         return Status.SUCCESS
+
+
+class SetNPCPath(Behavior):
+    """Redirect a spawned NPC toward a new destination (LaneChange /
+    cut-in maneuver analog, srunner atomic_behaviors LaneChange)."""
+
+    def __init__(self, spawner: SpawnNPC, target, speed: Optional[float] = None):
+        self.spawner = spawner
+        self.target = np.asarray(target, float)
+        self.speed = speed
+
+    def tick(self, backend, ego) -> Status:
+        npc = self.spawner.npc
+        if npc is None:
+            return Status.FAILURE
+        npc.retarget(backend.t, b=self.target, speed=self.speed)
+        return Status.SUCCESS
+
+
+class RemoveNPC(Behavior):
+    """Despawn a scripted actor (srunner ActorDestroy)."""
+
+    def __init__(self, spawner: SpawnNPC):
+        self.spawner = spawner
+
+    def tick(self, backend, ego) -> Status:
+        npc = self.spawner.npc
+        if npc is not None and npc in backend._npcs:
+            backend._npcs.remove(npc)
+        return Status.SUCCESS
+
+
+class TriggerOnVehicleDistance(Behavior):
+    """SUCCESS once the ego is within ``distance`` of a spawned NPC
+    (srunner InTriggerDistanceToVehicle)."""
+
+    def __init__(self, spawner: SpawnNPC, distance: float):
+        self.spawner = spawner
+        self.distance = distance
+
+    def tick(self, backend, ego) -> Status:
+        npc = self.spawner.npc
+        if npc is None:
+            return Status.FAILURE
+        d = float(np.linalg.norm(
+            npc.position(backend.t) - np.array([ego.x, ego.y])))
+        return Status.SUCCESS if d < self.distance else Status.RUNNING
+
+
+class SyncArrival(Behavior):
+    """Pace an NPC so it reaches ``npc_target`` when the ego reaches
+    ``ego_target`` (srunner SyncArrival, used by the junction scenarios).
+    SUCCESS once the ego is within ``done_radius`` of its target."""
+
+    def __init__(self, spawner: SpawnNPC, ego_target, npc_target,
+                 done_radius: float = 15.0, max_speed: float = 15.0):
+        self.spawner = spawner
+        self.ego_target = np.asarray(ego_target, float)
+        self.npc_target = np.asarray(npc_target, float)
+        self.done_radius = done_radius
+        self.max_speed = max_speed
+
+    def tick(self, backend, ego) -> Status:
+        npc = self.spawner.npc
+        if npc is None:
+            return Status.FAILURE
+        p = np.array([ego.x, ego.y])
+        d_ego = float(np.linalg.norm(self.ego_target - p))
+        if d_ego < self.done_radius:
+            return Status.SUCCESS
+        t_ego = d_ego / max(ego.speed, 0.5)
+        d_npc = float(np.linalg.norm(
+            self.npc_target - npc.position(backend.t)))
+        npc.retarget(backend.t, b=self.npc_target,
+                     speed=float(np.clip(d_npc / t_ego, 0.0, self.max_speed)))
+        return Status.RUNNING
+
+
+class WaitUntilGreen(Behavior):
+    """SUCCESS when the traffic light nearest ``position`` is green
+    (srunner WaitForTrafficLightState). Backends without lights pass."""
+
+    def __init__(self, position):
+        self.position = np.asarray(position, float)
+
+    def tick(self, backend, ego) -> Status:
+        lights = getattr(backend, "_lights", None)
+        if not lights:
+            return Status.SUCCESS
+        nearest = min(lights, key=lambda l: (l.x - self.position[0]) ** 2
+                      + (l.y - self.position[1]) ** 2)
+        return Status.RUNNING if nearest.is_red(backend.t) else Status.SUCCESS
 
 
 class InjectControlNoise(Behavior):
@@ -223,6 +329,29 @@ class BasicScenario:
             (np.diff(self.route.positions, axis=0) ** 2).sum(-1)))])
         idx = int(np.searchsorted(cum, meters_in))
         return self.route.positions[min(idx, len(self.route.positions) - 1)]
+
+    def _route_frame(self, meters_in: float):
+        """(position, unit forward, unit left) at arc length ``meters_in`` —
+        the lane frame scenario geometry is expressed in."""
+        cum = np.concatenate([[0.0], np.cumsum(np.sqrt(
+            (np.diff(self.route.positions, axis=0) ** 2).sum(-1)))])
+        idx = min(int(np.searchsorted(cum, meters_in)),
+                  len(self.route.positions) - 2)
+        pos = self.route.positions[idx]
+        fwd = self.route.positions[idx + 1] - self.route.positions[idx]
+        n = float(np.linalg.norm(fwd)) or 1.0
+        fwd = fwd / n
+        left = np.array([-fwd[1], fwd[0]])
+        return pos, fwd, left
+
+    def _junction_point(self):
+        """First route node carrying a turn command (the junction the srunner
+        junction scenarios key on); falls back to the route midpoint."""
+        for pos, opt in zip(self.route.positions, self.route.options):
+            if opt in (RoadOption.LEFT, RoadOption.RIGHT, RoadOption.STRAIGHT):
+                return np.asarray(pos, float)
+        return np.asarray(
+            self.route.positions[len(self.route.positions) // 2], float)
 
     def tick(self, frame) -> Status:
         ego = self.backend.ego_state()
@@ -288,8 +417,242 @@ class ControlLoss(BasicScenario):
         ], name="control_loss")
 
 
+class StationaryObjectCrossing(BasicScenario):
+    """A static prop blocks the ego lane (srunner
+    object_crash_vehicle.py StationaryObjectCrossing)."""
+
+    def _create_behavior(self) -> Behavior:
+        pos, _fwd, _left = self._route_frame(45.0)
+        return Sequence([
+            TriggerOnDistance(self._trigger_position(15.0), 15.0),
+            SpawnNPC("static", pos, pos, speed=0.0),
+            DriveDistance(50.0),
+        ], name="stationary_object_crossing")
+
+
+class CutIn(BasicScenario):
+    """A fast vehicle in the adjacent lane overtakes and cuts in front of the
+    ego (srunner/scenarios/cut_in.py:32 behavior shape: accelerate alongside,
+    then a lane-change maneuver into the ego lane)."""
+
+    timeout = 90.0
+
+    def _create_behavior(self) -> Behavior:
+        pos0, fwd, left = self._route_frame(8.0)
+        cut_point, _, _ = self._route_frame(55.0)
+        spawner = SpawnNPC("vehicle", pos0 + 3.5 * left,
+                           pos0 + 3.5 * left + 130.0 * fwd, speed=7.5)
+        return Sequence([
+            TriggerOnDistance(self._trigger_position(5.0), 12.0),
+            spawner,
+            TriggerOnVehicleDistance(spawner, 14.0),
+            SetNPCPath(spawner, cut_point, speed=6.0),   # the cut
+            DriveDistance(60.0),
+        ], name="cut_in")
+
+
+class ChangeLane(BasicScenario):
+    """A slow lead vehicle brakes in the ego lane, forcing a lane change while
+    a fast vehicle holds the target lane (srunner/scenarios/change_lane.py:36
+    three-vehicle setup)."""
+
+    timeout = 90.0
+
+    def _create_behavior(self) -> Behavior:
+        lead_a, fwd, left = self._route_frame(40.0)
+        fast_a, _, _ = self._route_frame(5.0)
+        lead = SpawnNPC("vehicle", lead_a, lead_a + 70.0 * fwd, speed=3.0)
+        fast = SpawnNPC("vehicle", fast_a + 3.5 * left,
+                        fast_a + 3.5 * left + 140.0 * fwd, speed=9.0)
+        return Sequence([
+            TriggerOnDistance(self._trigger_position(15.0), 15.0),
+            lead, fast,
+            TriggerOnVehicleDistance(lead, 22.0),
+            SetNPCSpeed(lead, 0.0),             # lead parks in-lane
+            DriveDistance(60.0),
+        ], name="change_lane")
+
+
+class OtherLeadingVehicle(BasicScenario):
+    """Two leading vehicles in neighboring lanes; the first decelerates hard
+    once the ego closes in (srunner/scenarios/other_leading_vehicle.py:33)."""
+
+    timeout = 90.0
+
+    def _create_behavior(self) -> Behavior:
+        lead_a, fwd, left = self._route_frame(35.0)
+        other_a, _, _ = self._route_frame(42.0)
+        lead = SpawnNPC("vehicle", lead_a, lead_a + 90.0 * fwd, speed=6.0)
+        other = SpawnNPC("vehicle", other_a + 3.5 * left,
+                         other_a + 3.5 * left + 90.0 * fwd, speed=6.0)
+        return Sequence([
+            TriggerOnDistance(self._trigger_position(10.0), 12.0),
+            lead, other,
+            TriggerOnVehicleDistance(lead, 28.0),
+            SetNPCSpeed(lead, 1.5),             # sudden deceleration
+            DriveDistance(55.0),
+        ], name="other_leading_vehicle")
+
+
+class ManeuverOppositeDirection(BasicScenario):
+    """The ego lane is blocked by a parked vehicle and the ego must use the
+    opposite lane while traffic approaches head-on
+    (srunner/scenarios/maneuver_opposite_direction.py:32)."""
+
+    timeout = 90.0
+
+    def _create_behavior(self) -> Behavior:
+        block, fwd, left = self._route_frame(50.0)
+        far, _, _ = self._route_frame(110.0)
+        blocker = SpawnNPC("vehicle", block, block, speed=0.0)
+        oncoming = SpawnNPC("vehicle", far + 3.5 * left,
+                            far + 3.5 * left - 100.0 * fwd, speed=6.0)
+        return Sequence([
+            TriggerOnDistance(self._trigger_position(10.0), 12.0),
+            blocker, oncoming,
+            DriveDistance(70.0),
+        ], name="maneuver_opposite_direction")
+
+
+class _JunctionCrossingScenario(BasicScenario):
+    """Shared shape of the junction scenarios: an adversary vehicle crosses
+    the junction perpendicular to the ego, paced by SyncArrival so both meet
+    (srunner SyncArrival usage in no_signal_junction_crossing.py:77 and
+    opposite_vehicle_taking_priority.py:112)."""
+
+    timeout = 120.0
+    approach = 40.0             # adversary spawn distance from the junction
+    wait_for_green = False
+
+    def _create_behavior(self) -> Behavior:
+        junc = self._junction_point()
+        _pos, _fwd, left = self._route_frame(30.0)
+        start = junc + self.approach * left
+        spawner = SpawnNPC("vehicle", start, start, speed=0.0)
+        steps: List[Behavior] = [
+            TriggerOnDistance(self._trigger_position(10.0), 12.0)]
+        if self.wait_for_green:
+            steps.append(WaitUntilGreen(junc))
+        steps += [
+            spawner,
+            SyncArrival(spawner, junc, junc),
+            SetNPCPath(spawner, junc - self.approach * left, speed=8.0),
+            DriveDistance(45.0),
+        ]
+        return Sequence(steps, name=type(self).__name__)
+
+
+class OppositeVehicleRunningRedLight(_JunctionCrossingScenario):
+    """A crossing vehicle ignores its red light and takes priority as the ego
+    enters the junction (srunner/scenarios/opposite_vehicle_taking_priority.py:36)."""
+
+
+class NoSignalJunctionCrossing(_JunctionCrossingScenario):
+    """Crossing traffic at an unsignalized junction
+    (srunner/scenarios/no_signal_junction_crossing.py:28)."""
+
+    approach = 30.0
+
+
+class SignalizedJunctionLeftTurn(_JunctionCrossingScenario):
+    """Ego turns left at a signalized junction against oncoming crossing
+    traffic once the light is green
+    (srunner/scenarios/signalized_junction_left_turn.py:30)."""
+
+    wait_for_green = True
+
+
+class SignalizedJunctionRightTurn(_JunctionCrossingScenario):
+    """Right turn at a signalized junction with crossing traffic arriving
+    from the other side (srunner/scenarios/signalized_junction_right_turn.py:35)."""
+
+    wait_for_green = True
+    approach = -35.0            # adversary approaches from the right
+
+
+class _VehicleTurningScenario(BasicScenario):
+    """A crossing actor appears right after the ego's junction turn
+    (srunner/scenarios/object_crash_intersection.py — the upstream uses a
+    cyclist; the walker kind plays that role here)."""
+
+    timeout = 120.0
+    side = 1.0                  # +1 crossing from the left, -1 from the right
+
+    def _create_behavior(self) -> Behavior:
+        junc = self._junction_point()
+        _pos, fwd, left = self._route_frame(30.0)
+        cross_at = junc + 12.0 * fwd
+        a = cross_at + self.side * 8.0 * left
+        b = cross_at - self.side * 8.0 * left
+        return Sequence([
+            TriggerOnDistance(junc, 25.0),
+            SpawnNPC("walker", a, b, speed=2.5),
+            DriveDistance(40.0),
+        ], name=type(self).__name__)
+
+
+class VehicleTurningRight(_VehicleTurningScenario):
+    """object_crash_intersection.py:107 — crossing actor after a right turn."""
+
+    side = -1.0
+
+
+class VehicleTurningLeft(_VehicleTurningScenario):
+    """object_crash_intersection.py:274 — crossing actor after a left turn."""
+
+    side = 1.0
+
+
+class FreeRide(BasicScenario):
+    """No scripted adversary — criteria-only free driving
+    (srunner/scenarios/freeride.py)."""
+
+    timeout = 300.0
+
+    def _create_behavior(self) -> Behavior:
+        return DriveDistance(max(0.5 * self.route.length, 30.0))
+
+
+class BackgroundActivity(BasicScenario):
+    """Town-wide ambient traffic around the ego's route
+    (srunner/scenarios/background_activity.py)."""
+
+    timeout = 300.0
+    n_vehicles = 6
+    n_walkers = 4
+
+    def _create_behavior(self) -> Behavior:
+        children: List[Behavior] = []
+        mid = self.route.positions[len(self.route.positions) // 2]
+        for _ in range(self.n_vehicles):
+            a = mid + self._rng.uniform(-80.0, 80.0, 2)
+            b = a + self._rng.uniform(-60.0, 60.0, 2)
+            children.append(SpawnNPC("vehicle", a, b,
+                                     speed=float(self._rng.uniform(3, 8))))
+        for _ in range(self.n_walkers):
+            a = mid + self._rng.uniform(-60.0, 60.0, 2)
+            b = a + self._rng.uniform(-15.0, 15.0, 2)
+            children.append(SpawnNPC("walker", a, b,
+                                     speed=float(self._rng.uniform(0.5, 2))))
+        children.append(DriveDistance(50.0))
+        return Sequence(children, name="background_activity")
+
+
 SCENARIO_CLASSES = {
     "FollowLeadingVehicle": FollowLeadingVehicle,
     "DynamicObjectCrossing": DynamicObjectCrossing,
+    "StationaryObjectCrossing": StationaryObjectCrossing,
     "ControlLoss": ControlLoss,
+    "CutIn": CutIn,
+    "ChangeLane": ChangeLane,
+    "OtherLeadingVehicle": OtherLeadingVehicle,
+    "ManeuverOppositeDirection": ManeuverOppositeDirection,
+    "OppositeVehicleRunningRedLight": OppositeVehicleRunningRedLight,
+    "NoSignalJunctionCrossing": NoSignalJunctionCrossing,
+    "SignalizedJunctionLeftTurn": SignalizedJunctionLeftTurn,
+    "SignalizedJunctionRightTurn": SignalizedJunctionRightTurn,
+    "VehicleTurningRight": VehicleTurningRight,
+    "VehicleTurningLeft": VehicleTurningLeft,
+    "FreeRide": FreeRide,
+    "BackgroundActivity": BackgroundActivity,
 }

@@ -93,6 +93,19 @@ class _NPC:
         u = u if u <= 1.0 else 2.0 - u
         return self.a + u * seg
 
+    def retarget(self, t: float, b=None, speed: Optional[float] = None) -> None:
+        """Re-anchor the path at the current position, phase-continuously:
+        after a speed or destination change the NPC continues from where it is
+        instead of teleporting along the triangle wave."""
+        pos = self.position(t)
+        seg = self.b - self.a
+        self.a = pos
+        self.b = np.asarray(b, float) if b is not None else pos + seg
+        if speed is not None:
+            self.speed = speed
+        length = float(np.linalg.norm(self.b - self.a)) or 1.0
+        self.phase = (-t * self.speed / length) % 2.0
+
 
 class FakeCarlaBackend(DrivingBackend):
     def __init__(self, town: str = "Town01", img_width: int = 800,

@@ -623,21 +623,62 @@ def test_watchdog_detects_simulator_hang():
                     watchdog_timeout=1.0)
 
 
-@pytest.mark.parametrize("name", ["FollowLeadingVehicle",
-                                  "DynamicObjectCrossing", "ControlLoss"])
+def _all_scenario_names():
+    from pmoe_tpu.eval.behaviors import SCENARIO_CLASSES
+
+    return sorted(SCENARIO_CLASSES)
+
+
+@pytest.mark.parametrize("name", _all_scenario_names())
 def test_scenario_classes_run_to_success(name):
-    """Behavior-tree scenario classes (srunner scenario subset) complete with
-    a scripted ego and spawn their actors (eval/behaviors.py)."""
+    """Behavior-tree scenario classes (the srunner scenario surface) complete
+    with a scripted ego and spawn their actors (eval/behaviors.py)."""
     from pmoe_tpu.eval.behaviors import SCENARIO_CLASSES, Status
     from pmoe_tpu.eval.scenario_cli import ScriptedFollowAgent, run_scenario
 
     backend = FakeCarlaBackend(render=False)
+    # target 5 gives the route a junction turn (corner scenarios key on it)
     scenario, result = run_scenario(
         backend, SCENARIO_CLASSES[name], ScriptedFollowAgent(None),
-        max_ticks=2500, verbose=False)
+        target_idx=5, max_ticks=4000, verbose=False)
     assert scenario.status == Status.SUCCESS
-    if name != "ControlLoss":
+    if name not in ("ControlLoss", "FreeRide"):
         assert backend._npcs            # scenario spawned its adversary
+
+
+def test_npc_retarget_is_phase_continuous():
+    """Speed/destination changes re-anchor the NPC path without teleporting
+    it (fake_carla._NPC.retarget; srunner actors keep their pose across
+    KeepVelocity/LaneChange transitions)."""
+    from pmoe_tpu.sim.fake_carla import _NPC
+
+    backend = FakeCarlaBackend(render=False)
+    backend.reset(backend.trace_route(0, 1))
+    npc = _NPC("vehicle", (0.0, 0.0), (50.0, 0.0), speed=5.0, phase=0.0)
+    backend._npcs.append(npc)
+    for _ in range(40):                      # advance 2 s of sim time
+        backend.tick(__import__("pmoe_tpu.sim.interface",
+                                fromlist=["VehicleControl"]).VehicleControl())
+    before = npc.position(backend.t).copy()
+    npc.retarget(backend.t, b=(0.0, 80.0), speed=9.0)
+    after = npc.position(backend.t)
+    assert float(np.linalg.norm(after - before)) < 1e-6
+    # and it now moves toward the new destination
+    later = npc.position(backend.t + 1.0)
+    assert later[1] > after[1]
+
+
+def test_remove_npc_behavior():
+    from pmoe_tpu.eval.behaviors import RemoveNPC, SpawnNPC, Status
+
+    backend = FakeCarlaBackend(render=False)
+    backend.reset(backend.trace_route(0, 1))
+    ego = backend.ego_state()
+    spawner = SpawnNPC("vehicle", (0.0, 0.0), (10.0, 0.0), speed=2.0)
+    assert spawner.tick(backend, ego) == Status.SUCCESS
+    assert backend._npcs
+    assert RemoveNPC(spawner).tick(backend, ego) == Status.SUCCESS
+    assert not backend._npcs
 
 
 def test_behavior_tree_composites():
