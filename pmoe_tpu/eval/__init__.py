@@ -15,6 +15,8 @@ from .watchdog import Watchdog, GameTime
 from .behaviors import (BasicScenario, FollowLeadingVehicle,
                         DynamicObjectCrossing, ControlLoss,
                         SCENARIO_CLASSES)
+from .openscenario import (OpenScenario, OpenScenarioConfiguration,
+                           UnsupportedOpenScenarioFeature, load_xosc)
 from .view_results import view_results
 from ..sim.sensor_interface import AgentError, SensorReceivedNoData
 
@@ -31,4 +33,6 @@ __all__ = [
     "AgentError", "SensorReceivedNoData",
     "BasicScenario", "FollowLeadingVehicle", "DynamicObjectCrossing",
     "ControlLoss", "SCENARIO_CLASSES",
+    "OpenScenario", "OpenScenarioConfiguration",
+    "UnsupportedOpenScenarioFeature", "load_xosc",
 ]

@@ -89,6 +89,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--scenario", default="FollowLeadingVehicle",
                         choices=sorted(SCENARIO_CLASSES))
+    parser.add_argument("--openscenario", default=None, metavar="FILE.xosc",
+                        help="run an OpenSCENARIO document instead of a "
+                             "named scenario class")
     parser.add_argument("--agent", default="follow",
                         choices=["follow", "image"])
     parser.add_argument("--config", default="pmoe_tpu/conf/benchmark")
@@ -96,6 +99,18 @@ def main(argv=None):
     parser.add_argument("--max-ticks", type=int, default=2000)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
+
+    if args.openscenario:
+        from .openscenario import OpenScenario, load_xosc
+
+        xosc_cfg = load_xosc(args.openscenario)
+
+        def scenario_cls(backend, route, seed=0):
+            return OpenScenario(backend, route, seed=seed, config=xosc_cfg)
+
+        scenario_cls.__name__ = f"OpenScenario({xosc_cfg.name})"
+    else:
+        scenario_cls = SCENARIO_CLASSES[args.scenario]
 
     backend = FakeCarlaBackend(town=args.town,
                                render=(args.agent == "image"))
@@ -107,7 +122,7 @@ def main(argv=None):
     else:
         agent = ScriptedFollowAgent(None)
     try:
-        scenario, _ = run_scenario(backend, SCENARIO_CLASSES[args.scenario],
+        scenario, _ = run_scenario(backend, scenario_cls,
                                    agent, max_ticks=args.max_ticks,
                                    seed=args.seed)
     finally:

@@ -1,0 +1,83 @@
+"""OpenSCENARIO (.xosc) engine tests (pmoe_tpu/eval/openscenario.py —
+reference srunner/openscenario + srunner/scenarios/open_scenario.py subset)."""
+
+import numpy as np
+import pytest
+
+from pmoe_tpu.eval.behaviors import Status
+from pmoe_tpu.eval.openscenario import (OpenScenario,
+                                        UnsupportedOpenScenarioFeature,
+                                        load_xosc)
+from pmoe_tpu.eval.scenario_cli import ScriptedFollowAgent, run_scenario
+from pmoe_tpu.sim.fake_carla import FakeCarlaBackend
+
+XOSC = "pmoe_tpu/assets/openscenario/lead_slowdown.xosc"
+
+
+def test_parse_sample_document():
+    cfg = load_xosc(XOSC)
+    assert set(cfg.entities) == {"hero", "lead"}
+    assert cfg.entities["hero"].is_ego
+    assert cfg.entities["lead"].kind == "vehicle"
+    assert np.allclose(cfg.entities["lead"].position, [10.0, 42.0])
+    assert cfg.parameters["leadSpeed"] == "7.0"
+    assert sorted(cfg.criteria_names) == ["CollisionTest",
+                                          "RouteCompletionTest",
+                                          "TimeoutTest"]
+    assert cfg.timeout == 120.0
+
+
+def test_executes_story_and_moves_the_adversary():
+    backend = FakeCarlaBackend(render=False)
+    cfg = load_xosc(XOSC)
+
+    def factory(bk, route, seed=0):
+        return OpenScenario(bk, route, seed=seed, config=cfg)
+
+    factory.__name__ = "OpenScenario"
+    scenario, result = run_scenario(backend, factory, ScriptedFollowAgent(None),
+                                    start_idx=0, target_idx=3,
+                                    max_ticks=4000, verbose=False)
+    assert scenario.status == Status.SUCCESS
+    assert len(backend._npcs) == 1          # the lead was spawned once
+    lead = backend._npcs[0]
+    # the SpeedAction fired (lead drove away from its init position) and the
+    # final SpeedAction stopped it again
+    assert float(np.linalg.norm(lead.position(backend.t) - [10.0, 42.0])) > 5.0
+    assert lead.speed == 0.0
+    backend.close()
+
+
+def test_criteria_from_parameter_declarations():
+    backend = FakeCarlaBackend(render=False)
+    route = backend.trace_route(0, 3)
+    backend.reset(route)
+    sc = OpenScenario(backend, route, config=load_xosc(XOSC))
+    names = {type(c).__name__ for c in sc.criteria.criteria}
+    assert names == {"CollisionTest", "RouteCompletionTest", "TimeoutTest"}
+    assert sc.timeout == 120.0
+    backend.close()
+
+
+def test_parameter_substitution_rejects_undeclared(tmp_path):
+    bad = tmp_path / "bad.xosc"
+    bad.write_text("""<?xml version="1.0"?>
+<OpenSCENARIO><Entities>
+  <ScenarioObject name="npc"><Vehicle name="v" vehicleCategory="car"/></ScenarioObject>
+</Entities><Storyboard><Init><Actions>
+  <Private entityRef="npc"><PrivateAction><TeleportAction><Position>
+    <WorldPosition x="$nope" y="0"/>
+  </Position></TeleportAction></PrivateAction></Private>
+</Actions></Init></Storyboard></OpenSCENARIO>""")
+    with pytest.raises(UnsupportedOpenScenarioFeature, match="nope"):
+        load_xosc(str(bad))
+
+
+def test_catalog_reference_raises(tmp_path):
+    bad = tmp_path / "cat.xosc"
+    bad.write_text("""<?xml version="1.0"?>
+<OpenSCENARIO><Entities>
+  <ScenarioObject name="npc"><CatalogReference catalogName="c" entryName="e"/></ScenarioObject>
+</Entities></OpenSCENARIO>""")
+    with pytest.raises(UnsupportedOpenScenarioFeature, match="catalog"):
+        load_xosc(str(bad))
