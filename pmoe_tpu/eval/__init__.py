@@ -17,6 +17,7 @@ from .behaviors import (BasicScenario, FollowLeadingVehicle,
                         SCENARIO_CLASSES)
 from .openscenario import (OpenScenario, OpenScenarioConfiguration,
                            UnsupportedOpenScenarioFeature, load_xosc)
+from .recorder import EpisodeRecorder, MetricsLog
 from .view_results import view_results
 from ..sim.sensor_interface import AgentError, SensorReceivedNoData
 
@@ -35,4 +36,5 @@ __all__ = [
     "ControlLoss", "SCENARIO_CLASSES",
     "OpenScenario", "OpenScenarioConfiguration",
     "UnsupportedOpenScenarioFeature", "load_xosc",
+    "EpisodeRecorder", "MetricsLog",
 ]

@@ -45,13 +45,16 @@ def run_episode(backend: DrivingBackend, agent, criteria: CriteriaTree,
                 injector=None, sensor_timeout: float = 10.0,
                 watchdog_timeout: float = 120.0,
                 sensor_hub: Optional[SensorHub] = None,
-                route=None) -> EpisodeResult:
+                route=None, recorder=None) -> EpisodeResult:
     """Run one closed-loop episode until a terminal criterion / max_ticks.
 
     The caller owns backend reset, criteria construction, and stats logging;
     ``sensor_hub`` may be injected for failure-injection tests. When the
     agent declares sensors, the hub is derived from (and validated against)
     that declaration; agents with no declaration get the default suite.
+    ``recorder`` (an :class:`~pmoe_tpu.eval.recorder.EpisodeRecorder`) gets
+    one ``on_tick`` per sim step plus the final criteria — the CARLA
+    recorder-log analog the metrics module replays.
     """
     result = EpisodeResult()
     frame = first_frame
@@ -87,6 +90,8 @@ def run_episode(backend: DrivingBackend, agent, criteria: CriteriaTree,
                 result.fired_scenarios += injector.update(
                     backend, (ego.x, ego.y))
             criteria.update(ego, frame)
+            if recorder is not None:
+                recorder.on_tick(backend, frame)
             result.ticks += 1
             if criteria.should_terminate:
                 break
@@ -103,4 +108,6 @@ def run_episode(backend: DrivingBackend, agent, criteria: CriteriaTree,
         watchdog.stop()
         if sensor_hub is None:              # we own the hub's reader threads
             hub.stop()
+    if recorder is not None:
+        recorder.record_criteria(criteria)
     return result

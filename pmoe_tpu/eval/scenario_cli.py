@@ -55,11 +55,16 @@ class ScriptedFollowAgent(AutonomousAgent):
 
 
 def run_scenario(backend, scenario_cls, agent, start_idx=0, target_idx=3,
-                 max_ticks=2000, seed=0, verbose=True):
+                 max_ticks=2000, seed=0, verbose=True, record=None):
     route = backend.trace_route(start_idx, target_idx)
     frame = backend.reset(route, seed=seed)
     agent.set_global_plan(route.gps_plan())
     scenario = scenario_cls(backend, route, seed=seed)
+    recorder = None
+    if record is not None:
+        from .recorder import EpisodeRecorder
+
+        recorder = EpisodeRecorder(town=backend.town, route=route)
 
     class _ScenarioCriteria:
         """Adapter: the tick engine drives criteria.update; route the tick
@@ -75,7 +80,10 @@ def run_scenario(backend, scenario_cls, agent, start_idx=0, target_idx=3,
             return scenario.criteria.get(name)
 
     result = run_episode(backend, agent, _ScenarioCriteria(), frame,
-                         max_ticks=max_ticks, route=route)
+                         max_ticks=max_ticks, route=route, recorder=recorder)
+    if recorder is not None:
+        recorder.record_criteria(scenario.criteria)   # the real criteria tree
+        recorder.save(record)
     rc = scenario.criteria.get("RouteCompletionTest")
     col = scenario.criteria.get("CollisionTest")
     if verbose:
@@ -98,6 +106,9 @@ def main(argv=None):
     parser.add_argument("--town", default="Town01")
     parser.add_argument("--max-ticks", type=int, default=2000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--record", default=None, metavar="OUT.json",
+                        help="save an episode recording for the metrics "
+                             "module (python -m pmoe_tpu.eval.metrics_manager)")
     args = parser.parse_args(argv)
 
     if args.openscenario:
@@ -124,7 +135,7 @@ def main(argv=None):
     try:
         scenario, _ = run_scenario(backend, scenario_cls,
                                    agent, max_ticks=args.max_ticks,
-                                   seed=args.seed)
+                                   seed=args.seed, record=args.record)
     finally:
         backend.close()
     raise SystemExit(0 if scenario.status == Status.SUCCESS else 1)
