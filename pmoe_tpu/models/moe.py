@@ -272,28 +272,43 @@ class PUNetExpert(nn.Module):
 class PMoE(nn.Module):
     """Fusion of a frozen MoE (sampled) and a PU-Net expert through per-axis
     Linear(2 -> 1) mixers + tanh (reference moe.py:326-363). Speed output is the
-    dummy -1 for interface consistency. Needs a 'sample' RNG stream."""
+    dummy -1 for interface consistency. Needs a 'sample' RNG stream.
+
+    The forward is split into :meth:`trunk` (the expensive MoE sample +
+    PU-Net expert pass — entirely frozen under the stage-3 recipe) and
+    :meth:`head` (the two mixers) so the DDPG learn step can batch the actor
+    and target-actor trunks into one double-size pass
+    (models/rl_agent.py fused path)."""
 
     cfg: Mapping
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, images, speed, command, train: bool = False):
+    def setup(self):
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        moe = MixtureOfExperts(cfg=self.cfg, name="moe", **dt)
-        punet = PUNetExpert(cfg=self.cfg, name="punet", **dt)
+        self.moe = MixtureOfExperts(cfg=self.cfg, **dt)
+        self.punet = PUNetExpert(cfg=self.cfg, **dt)
+        self.lat_weights = nn.Dense(1, **dt)
+        self.long_weights = nn.Dense(1, **dt)
 
-        punet_actions, _ = punet(images, speed, command, train)
-        dist, _ = moe(images, speed, command, train)
+    def trunk(self, images, speed, command, train: bool = False):
+        """(moe_actions, punet_actions) — everything upstream of the mixers."""
+        punet_actions, _ = self.punet(images, speed, command, train)
+        dist, _ = self.moe(images, speed, command, train)
         moe_actions = dist.sample(self.make_rng("sample"))
+        return moe_actions, punet_actions
 
-        lat = nn.Dense(1, name="lat_weights", **dt)(
+    def head(self, moe_actions, punet_actions):
+        """Per-axis Linear(2 -> 1) mixers + tanh over the trunk outputs."""
+        lat = self.lat_weights(
             jnp.concatenate([moe_actions[:, 0:1], punet_actions[:, 0:1]], axis=-1))
-        lon = nn.Dense(1, name="long_weights", **dt)(
+        lon = self.long_weights(
             jnp.concatenate([moe_actions[:, 1:2], punet_actions[:, 1:2]], axis=-1))
-        actions = jnp.tanh(jnp.concatenate([lat, lon], axis=-1))
-        return actions, -1
+        return jnp.tanh(jnp.concatenate([lat, lon], axis=-1))
+
+    def __call__(self, images, speed, command, train: bool = False):
+        moe_actions, punet_actions = self.trunk(images, speed, command, train)
+        return self.head(moe_actions, punet_actions), -1
 
     def sample(self, images, speed, command, train: bool = False):
         actions, _ = self(images, speed, command, train)

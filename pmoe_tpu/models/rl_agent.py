@@ -109,6 +109,7 @@ class Agent:
         trainable = make_freeze_mask(actor_params,
                                      list(actor_cfg.get("exclude_freeze", [])))
         self._actor_trainable = trainable
+        self._fused_trunk = self._can_fuse_trunk(trainable)
         frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
         self.actor_tx = optax.chain(
             optax.adam(float(actor_cfg.get("lr", 1e-5))),
@@ -133,6 +134,33 @@ class Agent:
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
         return sub
+
+    def _can_fuse_trunk(self, trainable) -> bool:
+        """True when the actor's expensive trunk can be hoisted out of the
+        gradient and shared between the actor and target-actor forwards.
+
+        Exactness argument (stage-3 recipe, conf/stage_3.yaml
+        exclude_freeze=[model_weights, alpha]): the PMoE trunk's only
+        potentially-trainable leaves are the MoE alpha gates, and the mixture
+        ``sample`` routes alpha exclusively through an argmax + one-hot gather
+        (ops/distributions.py:42-53) — zero gradient, exactly like the torch
+        reference where ``dists.sample()`` detaches (reference moe.py:352).
+        Zero grad + masked optimizer means trunk leaves never change, so
+        actor and target trunks stay identical and one double-batch trunk
+        pass is gradient- and value-exact."""
+        if self.actor_type not in ("pmoe", "pmoe+pretrained"):
+            return False
+        offending = []
+
+        def check(path, leaf_trainable):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            top = name.split("/", 1)[0]
+            if leaf_trainable and top in ("moe", "punet") \
+                    and "alpha" not in name:
+                offending.append(name)
+
+        jax.tree_util.tree_map_with_path(check, trainable)
+        return not offending
 
     @staticmethod
     def _norm(images):
@@ -176,9 +204,30 @@ class Agent:
         n_speed, n_command = batch["new_speed"], batch["new_command"]
 
         # targets: y = r + gamma * Q'(s', pi'(s')) * (1 - done)
-        target_actions = self._forward_actor(
-            state.target_actor_params, state.actor_batch_stats,
-            n_images, n_speed, n_command, k1)
+        if self._fused_trunk:
+            # ONE double-batch pass of the frozen PMoE trunk covers both the
+            # target-actor (s') and actor (s) forwards: same FLOPs, but the
+            # convs run at 2B batch (much better MXU utilization than two B
+            # passes) and the actor backward skips the trunk entirely. Exact
+            # under the stage-3 freeze — see _can_fuse_trunk.
+            B = images.shape[0]
+            moe_b, punet_b = self.actor_model.apply(
+                {"params": state.actor_params,
+                 "batch_stats": state.actor_batch_stats},
+                jnp.concatenate([images, n_images], axis=0),
+                jnp.concatenate([speed, n_speed], axis=0),
+                jnp.concatenate([command, n_command], axis=0),
+                False, method="trunk", rngs={"sample": k1})
+            moe_b = jax.lax.stop_gradient(moe_b)
+            punet_b = jax.lax.stop_gradient(punet_b)
+            target_actions = self.actor_model.apply(
+                {"params": state.target_actor_params,
+                 "batch_stats": state.actor_batch_stats},
+                moe_b[B:], punet_b[B:], method="head")
+        else:
+            target_actions = self._forward_actor(
+                state.target_actor_params, state.actor_batch_stats,
+                n_images, n_speed, n_command, k1)
         q_next = self.critic_model.apply(
             {"params": state.target_critic_params,
              "batch_stats": state.critic_batch_stats},
@@ -203,8 +252,13 @@ class Agent:
             # semantics); without this the frozen MoE backbone's gradient
             # buffers OOM a single chip at batch 64
             ap = stop_gradient_frozen(ap, self._actor_trainable)
-            mu = self._forward_actor(ap, state.actor_batch_stats,
-                                     images, speed, command, k2)
+            if self._fused_trunk:
+                mu = self.actor_model.apply(
+                    {"params": ap, "batch_stats": state.actor_batch_stats},
+                    moe_b[:B], punet_b[:B], method="head")
+            else:
+                mu = self._forward_actor(ap, state.actor_batch_stats,
+                                         images, speed, command, k2)
             q = self.critic_model.apply(
                 {"params": critic_params,
                  "batch_stats": state.critic_batch_stats},
@@ -217,9 +271,12 @@ class Agent:
             a_grads, state.actor_opt, state.actor_params)
         actor_params = optax.apply_updates(state.actor_params, a_updates)
 
-        # soft target update: theta' <- tau*theta + (1-tau)*theta'
+        # soft target update: theta' <- theta' + tau*(theta - theta');
+        # algebraically tau*theta + (1-tau)*theta', but bitwise-stable when
+        # theta == theta' (frozen leaves stay identical forever — the
+        # invariant the fused-trunk path relies on)
         soft = lambda t, s: jax.tree_util.tree_map(
-            lambda a, b: self.tau * b + (1.0 - self.tau) * a, t, s)
+            lambda a, b: a + self.tau * (b - a), t, s)
         new_state = state._replace(
             actor_params=actor_params, actor_opt=actor_opt,
             critic_params=critic_params, critic_opt=critic_opt,
@@ -252,7 +309,7 @@ class Agent:
     def update_network_parameters(self, tau: float | None = None) -> None:
         tau = self.tau if tau is None else tau
         soft = lambda t, s: jax.tree_util.tree_map(
-            lambda a, b: tau * b + (1.0 - tau) * a, t, s)
+            lambda a, b: a + tau * (b - a), t, s)
         self.state = self.state._replace(
             target_actor_params=soft(self.state.target_actor_params,
                                      self.state.actor_params),

@@ -20,6 +20,9 @@ help() {
   echo "  view_benchmark [DIR]   print benchmark results tables"
   echo "  collect [args]         collect training episodes (noisy expert)"
   echo "  scenario [args]        run one scenario class standalone (srunner CLI analog)"
+  echo "                         (--openscenario FILE.xosc runs an OpenSCENARIO doc;"
+  echo "                          --record OUT.json saves a recording for 'metrics')"
+  echo "  metrics [args]         run a metric class over a recording (metrics_manager analog)"
   echo "  bench                  run the perf benchmark (bench.py)"
   echo "  -h | --help            show this help"
 }
@@ -34,6 +37,7 @@ case "$1" in
   view_benchmark)  shift; python -m pmoe_tpu.eval.view_results "$@" ;;
   collect)         shift; python -m pmoe_tpu.agents.collect "$@" ;;
   scenario)        shift; python -m pmoe_tpu.eval.scenario_cli "$@" ;;
+  metrics)         shift; python -m pmoe_tpu.eval.metrics_manager "$@" ;;
   bench)           python bench.py ;;
   -h|--help|*)     help ;;
 esac

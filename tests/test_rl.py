@@ -51,6 +51,128 @@ def test_driving_gym_episode():
     assert info["route_completion"] > 0.0
 
 
+def _tiny_ddpg_params(tiny_moe_cfg, actor_overrides):
+    critic_mlp = lambda dims: {"dims": dims, "act": "relu", "l_act": False,
+                               "bn": False, "dropout": 0.0}
+    return {
+        "gamma": 0.9, "tau": 0.01, "buffer_size": 64, "batch_size": 8,
+        "OU": {"mu": [0.0, 0.0], "sigma": [0.3, 0.1], "theta": 0.6},
+        "actor": dict(tiny_moe_cfg, lr=1e-4, **actor_overrides),
+        "critic": {
+            "lr": 1e-3,
+            "backbone": tiny_moe_cfg["backbone"],
+            "speed_encoder": critic_mlp([1, 32, 128]),
+            "command_encoder": critic_mlp([4, 32, 128]),
+            "action_encoder": critic_mlp([2, 32, 128]),
+            "value_prediction": critic_mlp([896, 64, 1]),
+        },
+    }
+
+
+def test_pmoe_head_grads_match_full_forward(tiny_moe_cfg):
+    """The fused DDPG path hoists the PMoE trunk out of the gradient; the
+    mixer gradients through apply(method='head') must equal the gradients
+    through the full __call__ with the same sample rng (rl_agent fused path
+    exactness)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmoe_tpu.models import get_model
+    from pmoe_tpu.utils.nn import jit_init, make_freeze_mask, \
+        stop_gradient_frozen
+
+    cfg = dict(tiny_moe_cfg, type="pmoe")
+    model = get_model(cfg)
+    imgs = jnp.linspace(0, 1, 2 * 4 * 32 * 32 * 3).reshape(2, 4, 32, 32, 3)
+    spd = jnp.ones((2, 1))
+    cmd = jax.nn.one_hot(jnp.array([0, 1]), 4)
+    variables = jit_init(model, {"params": jax.random.PRNGKey(0),
+                                 "sample": jax.random.PRNGKey(1)},
+                         imgs, spd, cmd)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    trainable = make_freeze_mask(params, ["lat_weights", "long_weights"])
+    k = jax.random.PRNGKey(7)
+    w = jax.random.normal(jax.random.PRNGKey(8), (2, 2))
+
+    def loss_full(p):
+        p = stop_gradient_frozen(p, trainable)
+        a, _ = model.apply({"params": p, "batch_stats": bstats},
+                           imgs, spd, cmd, False, rngs={"sample": k})
+        return jnp.sum(a * w)
+
+    moe_a, punet_a = model.apply({"params": params, "batch_stats": bstats},
+                                 imgs, spd, cmd, False,
+                                 method="trunk", rngs={"sample": k})
+
+    def loss_head(p):
+        p = stop_gradient_frozen(p, trainable)
+        a = model.apply({"params": p, "batch_stats": bstats},
+                        moe_a, punet_a, method="head")
+        return jnp.sum(a * w)
+
+    g_full = jax.grad(loss_full)(params)
+    g_head = jax.grad(loss_head)(params)
+    for name in ("lat_weights", "long_weights"):
+        np.testing.assert_allclose(
+            np.asarray(g_full[name]["kernel"]),
+            np.asarray(g_head[name]["kernel"]), rtol=1e-6)
+        assert np.abs(np.asarray(g_head[name]["kernel"])).sum() > 0
+
+
+def test_ddpg_fused_pmoe_learn_step(tiny_moe_cfg):
+    """PMoE actor with the stage-3 freeze recipe takes the fused-trunk path:
+    one double-batch trunk forward, exact frozen-leaf invariants."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmoe_tpu.models.rl_agent import Agent
+
+    params = _tiny_ddpg_params(
+        tiny_moe_cfg,
+        {"type": "pmoe", "exclude_freeze": ["model_weights", "alpha"]})
+    obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
+    agent = Agent(params, obs)
+    assert agent._fused_trunk
+
+    rng = np.random.default_rng(0)
+    for i in range(16):
+        agent.remember(
+            rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+            np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+            np.array([0.0, 0.5], np.float32), np.float32(1.0),
+            rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+            np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+            np.float32(i == 15))
+    trunk_before = np.asarray(jax.tree_util.tree_leaves(
+        agent.state.actor_params["moe"])[0]).copy()
+    metrics = agent.learn()
+    assert np.isfinite(metrics["critic_loss"])
+    assert np.isfinite(metrics["actor_loss"])
+    # the fusion's invariant: trunk leaves never move, so the actor and
+    # target-actor trunks stay identical
+    trunk_after = np.asarray(jax.tree_util.tree_leaves(
+        agent.state.actor_params["moe"])[0])
+    np.testing.assert_array_equal(trunk_before, trunk_after)
+    for a, t in zip(jax.tree_util.tree_leaves(agent.state.actor_params["moe"]),
+                    jax.tree_util.tree_leaves(
+                        agent.state.target_actor_params["moe"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(t))
+
+
+def test_fuse_gate_rejects_trainable_trunk(tiny_moe_cfg):
+    """Unfreezing real trunk weights (not alpha) must disable the fusion."""
+    import jax.numpy as jnp
+
+    from pmoe_tpu.models.rl_agent import Agent
+
+    params = _tiny_ddpg_params(
+        tiny_moe_cfg, {"type": "pmoe", "exclude_freeze": ["action_pred"]})
+    obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
+    agent = Agent(params, obs)
+    assert not agent._fused_trunk
+
+
 def test_ddpg_learn_step(tiny_moe_cfg):
     import jax.numpy as jnp
 
