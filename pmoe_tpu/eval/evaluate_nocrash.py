@@ -102,6 +102,9 @@ def main(argv=None):
                              "(reference runners/suite format)")
     parser.add_argument("--workers", type=int, default=1,
                         help="parallel episode workers (Ray-fleet analog)")
+    parser.add_argument("--record-dir", default=None,
+                        help="save per-episode recordings for the metrics "
+                             "module (python -m pmoe_tpu.eval.metrics_manager)")
     args = parser.parse_args(argv)
 
     cfg = get_conf(args.config)
@@ -112,7 +115,8 @@ def main(argv=None):
 
     routes = load_suite(args.suite) if args.suite else None
     evaluator = NoCrashEvaluator(backend, stats, weather_group=args.weather,
-                                 routes=routes, max_ticks=args.max_ticks)
+                                 routes=routes, max_ticks=args.max_ticks,
+                                 record_dir=args.record_dir)
     if args.routes is not None:
         evaluator.routes = evaluator.routes[:args.routes]
 

@@ -83,10 +83,11 @@ class NoCrashEvaluator:
                  weather_group: str = "train",
                  routes: Sequence[Tuple[int, int]] | None = None,
                  max_ticks: int | None = None, verbose: bool = True,
-                 sensor_hub=None):
+                 sensor_hub=None, record_dir=None):
         self.backend = backend
         self.stats = stats
         self.sensor_hub = sensor_hub        # injectable for failure tests
+        self.record_dir = record_dir       # per-episode recordings for metrics
         self.weathers = (TRAIN_WEATHERS if weather_group == "train"
                          else TEST_WEATHERS)
         if routes is not None:
@@ -141,11 +142,28 @@ class NoCrashEvaluator:
             TimeoutTest(trace),
         ])
 
+        recorder = None
+        if self.record_dir is not None:
+            from pathlib import Path
+
+            from .recorder import EpisodeRecorder
+
+            Path(self.record_dir).mkdir(parents=True, exist_ok=True)
+            recorder = EpisodeRecorder(town=town, route=trace)
+
         t0 = time.perf_counter()
         result = run_episode(self.backend, agent, criteria, frame,
                              max_ticks=self.max_ticks,
-                             sensor_hub=self.sensor_hub, route=trace)
+                             sensor_hub=self.sensor_hub, route=trace,
+                             recorder=recorder)
         agent.destroy()
+        if recorder is not None:
+            from pathlib import Path
+
+            recorder.save(str(
+                Path(self.record_dir)
+                / f"{town}_t{traffic_idx}_w{weather}_{start_idx}"
+                  f"_{target_idx}.json"))
         rc = criteria.get("RouteCompletionTest")
         lights = criteria.get("RunningRedLightTest")
         duration_game = result.ticks * SIM_DT

@@ -160,17 +160,35 @@ def test_ddpg_fused_pmoe_learn_step(tiny_moe_cfg):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(t))
 
 
-def test_fuse_gate_rejects_trainable_trunk(tiny_moe_cfg):
-    """Unfreezing real trunk weights (not alpha) must disable the fusion."""
+def test_fuse_gate_rejects_trainable_trunk():
+    """Unfreezing real trunk weights (not alpha) must disable the fusion;
+    non-pmoe actors never fuse (no full Agent init needed — the gate only
+    reads actor_type and the trainable mask)."""
+    import types
+
     import jax.numpy as jnp
 
     from pmoe_tpu.models.rl_agent import Agent
+    from pmoe_tpu.utils.nn import make_freeze_mask
 
-    params = _tiny_ddpg_params(
-        tiny_moe_cfg, {"type": "pmoe", "exclude_freeze": ["action_pred"]})
-    obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
-    agent = Agent(params, obs)
-    assert not agent._fused_trunk
+    params = {
+        "moe": {"experts": {"alpha": {"kernel": jnp.zeros((2, 1))},
+                            "action_pred": {"kernel": jnp.zeros((2, 4))}}},
+        "punet": {"action_out": {"kernel": jnp.zeros((2, 2))}},
+        "lat_weights": {"kernel": jnp.zeros((2, 1))},
+        "long_weights": {"kernel": jnp.zeros((2, 1))},
+    }
+    gate = Agent._can_fuse_trunk
+
+    pmoe_agent = types.SimpleNamespace(actor_type="pmoe")
+    ok_mask = make_freeze_mask(params, ["model_weights", "alpha"])
+    assert gate(pmoe_agent, ok_mask)
+    # 'action_pred' unfreezes a real trunk weight -> no fusion
+    bad_mask = make_freeze_mask(params, ["action_pred"])
+    assert not gate(pmoe_agent, bad_mask)
+    # non-pmoe actors never fuse
+    moe_agent = types.SimpleNamespace(actor_type="moe")
+    assert not gate(moe_agent, ok_mask)
 
 
 def test_ddpg_learn_step(tiny_moe_cfg):

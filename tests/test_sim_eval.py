@@ -116,6 +116,27 @@ def test_nocrash_episode_loop(tmp_path):
     stats2.close()
 
 
+def test_nocrash_record_dir_feeds_metrics(tmp_path):
+    """--record-dir on the NoCrash evaluator writes recordings the metrics
+    module can replay (reference metrics_manager flow over recorder logs)."""
+    from pmoe_tpu.eval.metrics_manager import run_metric
+
+    backend = FakeCarlaBackend(render=False)
+    stats = NoCrashStatisticsManager(str(tmp_path), "Town01", "train")
+    rec_dir = tmp_path / "recordings"
+    ev = NoCrashEvaluator(backend, stats, routes=[(0, 2)], max_ticks=400,
+                          record_dir=str(rec_dir), verbose=False)
+    ev.weathers = [1]
+    ev._run_episode(lambda: FollowAgent(None), "Town01", 1, 1, (0, 2),
+                    {"cars": [0, 3, 0], "peds": [0, 1, 0]})
+    stats.close()
+    recs = list(rec_dir.glob("*.json"))
+    assert len(recs) == 1
+    m = run_metric(str(recs[0]), "pmoe_tpu.eval.metrics.distance_to_route",
+                   out_prefix=str(tmp_path / "m"))
+    assert m.results["mean_deviation"] >= 0.0
+
+
 def test_straight_route_completes(tmp_path):
     """A scripted follower on a straight route should reach high completion."""
     backend = FakeCarlaBackend(render=False)
