@@ -343,12 +343,15 @@ class FakeCarlaBackend(DrivingBackend):
         return np.concatenate(views, axis=1)
 
     def _render_camera(self, yaw_offset: float = 0.0):
-        """Cheap ground-plane projection: sky / grass / road band.
+        """Cheap ground-plane projection: sky / grass / road scene.
 
         Fully vectorized; gives the vision stack real structure (horizon, road
         ahead curving with route geometry) at ~0 cost. With ``render_seg`` a
-        matching CARLA-class segmentation mask is produced (Sky=13, Terrain=22,
-        Road=7) so the fake backend can generate stage-0/1 training data.
+        matching CARLA-class segmentation mask is produced covering 12 of the
+        23 classes (Sky=13, Terrain=22, Road=7, RoadLine=6, SideWalk=8,
+        Building=1, Pedestrian=4, Pole=5, TrafficSign=12, TrafficLight=18,
+        Static=19, Vehicles=10) so the fake backend can generate stage-0/1
+        training data with class diversity.
         """
         W, H = self.W, self.H
         img = np.empty((H, W, 3), np.uint8)
@@ -379,16 +382,35 @@ class FakeCarlaBackend(DrivingBackend):
         ahead = (xf > 1.0) & (xf < 80.0)
         if ahead.any():
             xfa, yla = xf[ahead], yl[ahead]
+            idxs = np.nonzero(ahead)[0]
             u = (W / 2 + f * yla / xfa).astype(int)
             v = (horizon + (0.35 * H) / xfa * 12.0).astype(int)  # cam height ~1.3m
             half_w = np.maximum((f * 3.5 / xfa).astype(int), 1)  # road half-width
+            side_w = np.maximum((f * 1.5 / xfa).astype(int), 1)  # sidewalk width
+            line_w = np.maximum((f * 0.15 / xfa).astype(int), 1)  # lane marking
             v = np.clip(v, horizon, H - 1)
-            for ui, vi, hw in zip(u, v, half_w):
+            for ui, vi, hw, sw, lw, ri in zip(u, v, half_w, side_w, line_w,
+                                              idxs):
+                # sidewalk strips flanking the asphalt (SideWalk=8)
+                slo = max(ui - hw - sw, 0)
+                shi = min(ui + hw + sw, W)
+                if slo < shi:
+                    img[vi, slo:shi] = (160, 160, 160)
+                    if seg is not None:
+                        seg[vi, slo:shi] = 8
                 lo, hi = max(ui - hw, 0), min(ui + hw, W)
                 if lo < hi:
                     img[vi, lo:hi] = (90, 90, 95)
                     if seg is not None:
                         seg[vi, lo:hi] = 7      # Road
+                # dashed center line (RoadLine=6): 2 m dashes on 1 m points
+                if (ri % 4) < 2:
+                    llo = max(ui - lw, 0)
+                    lhi = min(ui + lw, W)
+                    if llo < lhi:
+                        img[vi, llo:lhi] = (230, 230, 210)
+                        if seg is not None:
+                            seg[vi, llo:lhi] = 6
 
         def draw_box(xfi, yli, width_m, height_m, color, seg_cls,
                      base_height_m=0.0):
@@ -410,18 +432,34 @@ class FakeCarlaBackend(DrivingBackend):
                 if seg is not None:
                     seg[v0:v1, u0:u1] = seg_cls
 
-        # NPC actors + traffic lights, far-to-near so near occludes far
-        # (CARLA classes: 4 Pedestrian, 10 Vehicles, 18 TrafficLight)
+        # buildings, NPC actors, signs, and traffic lights, far-to-near so
+        # near occludes far (CARLA classes: 1 Building, 4 Pedestrian,
+        # 10 Vehicles, 12 TrafficSign, 18 TrafficLight, 19 Static)
         drawables = []
+        for bi in range(self._grid_n - 1):
+            for bj in range(self._grid_n - 1):
+                bx = (bi + 0.5) * _BLOCK
+                by = (bj + 0.5) * _BLOCK
+                xfi, yli = project((bx, by))
+                drawables.append((xfi[0], yli[0], 34.0, 11.0,
+                                  (140, 115, 100), 1, 0.0))
         for npc in self._npcs:
             p = npc.position(self.t)
             xfi, yli = project(p)
             if npc.kind == "vehicle":
                 drawables.append((xfi[0], yli[0], 1.9, 1.6, (30, 30, 160),
                                   10, 0.0))
-            else:
+            elif npc.kind == "walker":
                 drawables.append((xfi[0], yli[0], 0.5, 1.8, (210, 90, 60),
                                   4, 0.0))
+            else:                        # scenario props / debris
+                drawables.append((xfi[0], yli[0], 1.5, 1.2, (150, 150, 60),
+                                  19, 0.0))
+        for sign in self._stop_signs:
+            xfi, yli = project(sign)
+            drawables.append((xfi[0], yli[0], 0.2, 2.0, (80, 80, 80), 5, 0.0))
+            drawables.append((xfi[0], yli[0], 0.7, 0.7, (200, 40, 40),
+                              12, 2.0))
         for light in self._lights:
             xfi, yli = project((light.x, light.y))
             color = (230, 40, 40) if light.is_red(self.t) else (40, 220, 70)

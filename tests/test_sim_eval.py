@@ -342,6 +342,9 @@ def test_camera_renders_npcs_and_lights():
     assert (f.seg == 7).any()         # road
     assert (f.seg == 10).any()        # vehicle billboard
     assert (f.seg == 4).any()         # pedestrian
+    # static scene furniture: sidewalk + dashed lane marking flank the road
+    assert (f.seg == 8).any()         # SideWalk
+    assert (f.seg == 6).any()         # RoadLine
     # drive toward the next intersection; its light should come into view
     seen_light = False
     for _ in range(600):
@@ -350,6 +353,23 @@ def test_camera_renders_npcs_and_lights():
             seen_light = True
             break
     assert seen_light
+
+
+def test_camera_renders_buildings_and_statics():
+    """Block-interior buildings (Building=1) and scenario props (Static=19)
+    render into rgb+seg; 12 of the 23 CARLA classes are producible."""
+    import math
+    from pmoe_tpu.sim.fake_carla import _NPC
+
+    b = FakeCarlaBackend(img_width=320, img_height=240, render_seg=True)
+    b.reset(b.trace_route(0, 5))
+    e = b._ego
+    e.x, e.y = 20.0, 20.0
+    e.yaw = math.atan2(30.0, 30.0)            # face block center (50, 50)
+    b._npcs.append(_NPC("static", (30.0, 30.0), (30.0, 30.0), 0.0, 0.0))
+    f = b.tick(VehicleControl())
+    assert (f.seg == 1).mean() > 0.01         # building fills real area
+    assert (f.seg == 19).any()                # static prop
 
 
 def test_off_lane_detection():
