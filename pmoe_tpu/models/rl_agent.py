@@ -74,11 +74,27 @@ class Agent:
     target networks with soft update tau, jitted learn step."""
 
     def __init__(self, params: Mapping, example_obs, rng=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, parallel: Mapping | None = None):
         self.gamma = float(params["gamma"])
         self.tau = float(params["tau"])
         self.batch_size = int(params["batch_size"])
         self.memory = ReplayMemory(int(params["buffer_size"]))
+
+        # optional device mesh (stage-3 DP/EP): replay batches shard over the
+        # 'data' axis, stacked-expert params over 'expert'; XLA inserts the
+        # gradient all-reduce / expert all-gather collectives under jit.
+        par = dict(parallel if parallel is not None
+                   else params.get("parallel", {}) or {})
+        d, e = int(par.get("data", 1)), int(par.get("expert", 1))
+        self.mesh = None
+        if d * e > 1:
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(jax.devices()[:d * e], data=d, expert=e)
+            if self.batch_size % d:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"data-parallel degree {d}")
 
         ou = params["OU"]
         self.noise = OrnsteinUhlenbeckActionNoise(
@@ -127,6 +143,13 @@ class Agent:
             target_actor_params=jax.tree_util.tree_map(jnp.array, actor_params),
             target_critic_params=jax.tree_util.tree_map(jnp.array, critic_params),
         )
+        if self.mesh is not None:
+            from ..parallel import shard_params
+
+            # expert-stacked leaves over 'expert', everything else replicated
+            self.state = DDPGState(
+                **{f: shard_params(self.mesh, getattr(self.state, f))
+                   for f in DDPGState._fields})
         self._learn_jit = jax.jit(self._learn_step)
         self._act_jit = jax.jit(self._act)
         self._staged = None                 # double-buffered replay batch
@@ -288,6 +311,10 @@ class Agent:
     def _stage_batch(self):
         """Sample + start the async host->device upload of one replay batch."""
         tr: Transition = self.memory.sample(self.batch_size)
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            return shard_batch(self.mesh, tr._asdict())
         return {k: jax.device_put(v) for k, v in tr._asdict().items()}
 
     def learn(self, fetch_metrics: bool = True):

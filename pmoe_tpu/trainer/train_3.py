@@ -72,7 +72,7 @@ def train(cfg) -> Agent:
     obs = env.reset()
     example = (jnp.asarray(obs[0]).astype(jnp.float32) / 255.0,
                jnp.asarray(obs[1]), jnp.asarray(obs[2]))
-    agent = Agent(mcfg, example)
+    agent = Agent(mcfg, example, parallel=cfg.get("parallel", None))
 
     # restore the pretrained actor (reference rl_agent.py:26-31)
     model_dir = str(mcfg.get("actor", {}).get("model_dir", ""))

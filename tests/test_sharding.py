@@ -181,3 +181,59 @@ def test_learner_uses_expert_mesh(synthetic_root, tmp_path, tiny_moe_cfg):
     assert learner.mesh.shape["expert"] == 2
     spec = learner.state.params["experts"]["alpha"]["kernel"].sharding.spec
     assert spec == PartitionSpec("expert", None, None)
+
+
+def test_ddpg_dp_learn_step_matches_single_device(tiny_moe_cfg):
+    """Stage-3 DDPG with the replay batch sharded over a 4-way data axis
+    produces the same update as the single-device step (the mesh only
+    changes placement; XLA's all-reduce is the same mean)."""
+    from pmoe_tpu.models.rl_agent import Agent
+
+    critic_mlp = lambda dims: {"dims": dims, "act": "relu", "l_act": False,
+                               "bn": False, "dropout": 0.0}
+
+    def build(parallel):
+        params = {
+            "gamma": 0.9, "tau": 0.01, "buffer_size": 16, "batch_size": 8,
+            "OU": {"mu": [0.0, 0.0], "sigma": [0.3, 0.1], "theta": 0.6},
+            "actor": dict(tiny_moe_cfg, lr=1e-4,
+                          exclude_freeze=["action_pred"]),
+            "critic": {
+                "lr": 1e-3,
+                "backbone": tiny_moe_cfg["backbone"],
+                "speed_encoder": critic_mlp([1, 32, 128]),
+                "command_encoder": critic_mlp([4, 32, 128]),
+                "action_encoder": critic_mlp([2, 32, 128]),
+                "value_prediction": critic_mlp([896, 64, 1]),
+            },
+        }
+        obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)),
+               jnp.zeros((1, 4)))
+        agent = Agent(params, obs, rng=jax.random.PRNGKey(3),
+                      parallel=parallel)
+        agent.memory._rng = np.random.default_rng(0)   # deterministic batches
+        rng = np.random.default_rng(1)
+        for i in range(8):
+            agent.remember(
+                rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+                np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+                np.array([0.0, 0.5], np.float32), np.float32(1.0),
+                rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+                np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+                np.float32(0.0))
+        return agent
+
+    single = build(None)
+    dp = build({"data": 4})
+    assert dp.mesh is not None and dp.mesh.shape["data"] == 4
+
+    m1 = single.learn()
+    m2 = dp.learn()
+    np.testing.assert_allclose(m1["critic_loss"], m2["critic_loss"],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(m1["actor_loss"], m2["actor_loss"],
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(single.state.critic_params),
+                    jax.tree_util.tree_leaves(dp.state.critic_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
