@@ -186,7 +186,14 @@ def test_learner_uses_expert_mesh(synthetic_root, tmp_path, tiny_moe_cfg):
 def test_ddpg_dp_learn_step_matches_single_device(tiny_moe_cfg):
     """Stage-3 DDPG with the replay batch sharded over a 4-way data axis
     produces the same update as the single-device step (the mesh only
-    changes placement; XLA's all-reduce is the same mean)."""
+    changes placement; XLA's all-reduce is the same mean).
+
+    Uses the moe actor at 4-way DP deliberately: on this 1-core host the
+    virtual CPU devices execute their shards serially, and XLA CPU's
+    collective rendezvous aborts the process (hard CHECK, 40 s termination
+    timeout) when a per-device shard computes longer than the window — the
+    pmoe actor's PU-Net trunk at 8-way DP trips it. Real TPU meshes run
+    devices concurrently and have no such limit."""
     from pmoe_tpu.models.rl_agent import Agent
 
     critic_mlp = lambda dims: {"dims": dims, "act": "relu", "l_act": False,
