@@ -74,6 +74,9 @@ def main(argv=None):
                         help="disable adversarial scenario injection")
     parser.add_argument("--workers", type=int, default=1,
                         help="parallel route workers (Ray-fleet analog)")
+    parser.add_argument("--record-dir", default=None,
+                        help="save per-route recordings for the metrics "
+                             "module (python -m pmoe_tpu.eval.metrics_manager)")
     args = parser.parse_args(argv)
 
     cfg = get_conf(args.config)
@@ -95,7 +98,8 @@ def main(argv=None):
         n_vehicles=int(env.get("n_vehicles", 0)),
         n_pedestrians=int(env.get("n_pedestrians", 0)),
         max_ticks=args.max_ticks,
-        inject_scenarios=not args.no_scenarios)
+        inject_scenarios=not args.no_scenarios,
+        record_dir=args.record_dir)
 
     if args.workers > 1:
         from .parallel_runner import ParallelEvalRunner

@@ -30,7 +30,7 @@ class LeaderboardEvaluator:
                  n_vehicles: int = 0, n_pedestrians: int = 0,
                  max_ticks: int | None = None, verbose: bool = True,
                  inject_scenarios: bool = True, scenario_spacing: float = 80.0,
-                 sensor_hub=None):
+                 sensor_hub=None, record_dir=None):
         self.backend = backend
         self.stats = stats
         self.checkpoint_path = checkpoint_path
@@ -41,6 +41,7 @@ class LeaderboardEvaluator:
         self.inject_scenarios = inject_scenarios
         self.scenario_spacing = scenario_spacing
         self.sensor_hub = sensor_hub        # injectable for failure tests
+        self.record_dir = record_dir       # per-route recordings for metrics
 
     def run(self, agent_factory, route_indexer: RouteIndexer,
             resume: bool = False) -> dict:
@@ -90,11 +91,26 @@ class LeaderboardEvaluator:
                                      seed=cfg.index)
                     if self.inject_scenarios else None)
 
+        recorder = None
+        if self.record_dir is not None:
+            from pathlib import Path
+
+            from .recorder import EpisodeRecorder
+
+            Path(self.record_dir).mkdir(parents=True, exist_ok=True)
+            recorder = EpisodeRecorder(town=self.backend.town, route=trace)
+
         result = run_episode(self.backend, agent, criteria, frame,
                              max_ticks=self.max_ticks, injector=injector,
-                             sensor_hub=self.sensor_hub, route=trace)
+                             sensor_hub=self.sensor_hub, route=trace,
+                             recorder=recorder)
         ticks = result.ticks
         agent.destroy()
+        if recorder is not None:
+            from pathlib import Path
+
+            recorder.save(str(Path(self.record_dir)
+                              / f"{cfg.name}_rep{cfg.repetition_index}.json"))
 
         rc = criteria.get("RouteCompletionTest")
         events = {

@@ -172,11 +172,18 @@ def test_leaderboard_evaluator_runs(tmp_path):
     stats = StatisticsManager()
     ev = LeaderboardEvaluator(backend, stats,
                               checkpoint_path=str(tmp_path / "sim.json"),
-                              max_ticks=200, verbose=False)
+                              max_ticks=200, verbose=False,
+                              record_dir=str(tmp_path / "rec"))
     indexer = RouteIndexer([(0, 1), (2, 3)], repetitions=1)
     glob = ev.run(lambda: FollowAgent(None), indexer)
     assert glob["finished_routes"] == 2
     assert (tmp_path / "sim.json").exists()
+    # --record-dir parity with the NoCrash evaluator: one recording per route
+    from pmoe_tpu.eval.recorder import MetricsLog
+
+    recs = sorted((tmp_path / "rec").glob("*.json"))
+    assert len(recs) == 2
+    assert MetricsLog.load(str(recs[0])).get_total_frame_count() > 0
 
 
 def test_view_results(tmp_path, capsys):
