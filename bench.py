@@ -131,12 +131,14 @@ def bench_stage3():
                   dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, (4, 224, 224, 3), np.uint8)
+    # consecutive transitions (s' = s shifted one tick), the closed-loop
+    # collection pattern — exercises the window-dedup fused-trunk path
+    window = rng.integers(0, 255, (5, 224, 224, 3), np.uint8)
     for _ in range(BATCH3 + 1):
-        agent.remember(frames, np.float32([1.0]),
+        agent.remember(window[:4], np.float32([1.0]),
                        np.eye(n_commands, dtype=np.float32)[0],
                        np.float32([0.1, 0.5]), np.float32(1.0),
-                       frames, np.float32([1.1]),
+                       window[1:], np.float32([1.1]),
                        np.eye(n_commands, dtype=np.float32)[0],
                        np.float32(0.0))
 
@@ -154,7 +156,11 @@ def bench_stage3():
                             n_steps / (time.perf_counter() - t0))
 
     tr = agent.memory.sample(agent.batch_size)
-    batch = {k: jnp.asarray(v) for k, v in tr._asdict().items()}
+    batch = tr._asdict()
+    if agent._fused_trunk and agent._windows_ok:   # count the executed path
+        batch["window"] = np.concatenate(
+            [batch.pop("images"), batch.pop("new_images")[:, -1:]], axis=1)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
     try:
         cost = op_counter(agent._learn_step, agent.state, batch,
                           jax.random.PRNGKey(1))

@@ -223,7 +223,8 @@ class PUNetExpert(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images, speed, command, train: bool = False):
+    def __call__(self, images, speed, command, train: bool = False,
+                 seg_masks=None, seg_only: bool = False):
         dt = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         return_inter = self.cfg.get("type") == "punet_inter"
         punet_cfg = dict(self.cfg["punet"])
@@ -239,13 +240,17 @@ class PUNetExpert(nn.Module):
             name="punet",
             **dt,
         )
+        if seg_only:
+            # segmentation masks only (any frame count) — the DDPG window path
+            return punet(images, train=False, seg_only=True)
         speed_f = _mlp(self.cfg["speed_encoder"], name="speed_encoder", **dt)(
             speed, train)
         command_f = _mlp(self.cfg["command_encoder"], name="command_encoder", **dt)(
             command, train)
 
         # The pretrained PU-Net is frozen (reference moe.py:281-283).
-        punet_out = jax.lax.stop_gradient(punet(images, train=False))
+        punet_out = jax.lax.stop_gradient(
+            punet(images, train=False, seg_masks=seg_masks))
         if return_inter:
             img_f = punet_out
         else:
@@ -295,6 +300,26 @@ class PMoE(nn.Module):
         """(moe_actions, punet_actions) — everything upstream of the mixers."""
         punet_actions, _ = self.punet(images, speed, command, train)
         dist, _ = self.moe(images, speed, command, train)
+        moe_actions = dist.sample(self.make_rng("sample"))
+        return moe_actions, punet_actions
+
+    def trunk_pair(self, window, speed, command, train: bool = False):
+        """Fused trunk over two OVERLAPPING frame stacks s / s' sharing T-1
+        frames (consecutive replay transitions): ``window`` is the (B, T+1,
+        H, W, C) union, ``speed``/``command`` are the stacked (2B, ...) inputs
+        for [s; s']. The frozen segmentation U-Net runs once over the T+1
+        unique frames instead of the 2T stacked ones (5 instead of 8 passes at
+        the reference T=4 — the DDPG learn step's biggest redundant compute),
+        then both stacks' mask windows are gathered from it. Outputs are
+        ordered [s; s'] exactly like ``trunk`` on the concatenated stacks."""
+        T = window.shape[1] - 1
+        masks = self.punet(window, None, None, False,
+                           seg_only=True)                   # (B, T+1, H, W, K)
+        masks2 = jnp.concatenate([masks[:, :T], masks[:, 1:]], axis=0)
+        images2 = jnp.concatenate([window[:, :T], window[:, 1:]], axis=0)
+        punet_actions, _ = self.punet(images2, speed, command, train,
+                                      seg_masks=masks2)
+        dist, _ = self.moe(images2, speed, command, train)
         moe_actions = dist.sample(self.make_rng("sample"))
         return moe_actions, punet_actions
 

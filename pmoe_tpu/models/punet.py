@@ -82,14 +82,22 @@ class PredictiveUNet(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img_list: jnp.ndarray, train: bool = False):
+    def __call__(self, img_list: jnp.ndarray, train: bool = False,
+                 seg_masks: jnp.ndarray | None = None, seg_only: bool = False):
         """img_list: (B, T, H, W, C) past frames.
 
         Returns (B, T', H, W, 23) future mask logits; or the 512-d bottleneck of
         the last rollout step when ``inter_repr``; or the current-frame mask /
         bottleneck when ``future_frames == 0`` (reference punet.py:93-98).
+
+        ``seg_only=True`` runs ONLY the frozen segmentation U-Net over the given
+        frames (any T) and returns the (B, T, H, W, K) mask logits; ``seg_masks``
+        supplies precomputed masks so the segmentation pass is skipped. Together
+        they let the DDPG fused trunk segment the 5-frame union of two
+        overlapping 4-frame stacks once (models/rl_agent.py window path).
         """
-        if img_list.shape[1] != self.past_frames:
+        if not seg_only and seg_masks is None \
+                and img_list.shape[1] != self.past_frames:
             raise ValueError(
                 f"expected {self.past_frames} past frames, got {img_list.shape[1]}"
             )
@@ -100,14 +108,23 @@ class PredictiveUNet(nn.Module):
                         gamma=self.gamma, b=self.b,
                         inter_repr=self.unet_inter_repr, name="unet", **kw)
 
-        # One batched segmentation pass over all past frames (frozen, eval mode).
-        seg_out = seg_unet(img_list.reshape(B * T, H, W, C), train=False)
-        if self.unet_inter_repr:
-            pooled, masks = seg_out
-            pooled = jax.lax.stop_gradient(pooled).reshape(B, T, -1)
+        if seg_masks is not None and not seg_only:
+            if self.unet_inter_repr:
+                raise ValueError("seg_masks is incompatible with unet_inter_repr "
+                                 "(the pooled bottleneck is not precomputable)")
+            masks = jax.lax.stop_gradient(seg_masks)
         else:
-            masks = seg_out
-        masks = jax.lax.stop_gradient(masks).reshape(B, T, H, W, self.num_classes)
+            # One batched segmentation pass over all frames (frozen, eval mode).
+            seg_out = seg_unet(img_list.reshape(B * T, H, W, C), train=False)
+            if self.unet_inter_repr:
+                pooled, masks = seg_out
+                pooled = jax.lax.stop_gradient(pooled).reshape(B, T, -1)
+            else:
+                masks = seg_out
+            masks = jax.lax.stop_gradient(masks).reshape(
+                B, T, H, W, self.num_classes)
+        if seg_only:
+            return masks
 
         if self.future_frames == 0:
             if self.unet_inter_repr:

@@ -153,6 +153,7 @@ class Agent:
         self._learn_jit = jax.jit(self._learn_step)
         self._act_jit = jax.jit(self._act)
         self._staged = None                 # double-buffered replay batch
+        self._windows_ok = True             # all transitions consecutive so far
 
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -207,6 +208,16 @@ class Agent:
         return np.asarray(mu) + self.noise()
 
     def remember(self, *transition) -> None:
+        tr = Transition(*transition)
+        if self._windows_ok:
+            # Consecutive-window detection: when every stored transition's s'
+            # frame stack is s shifted by one tick (the closed-loop collection
+            # pattern), the fused trunk can segment the (T+1)-frame union once
+            # instead of both 4-stacks — see _learn_step's window path.
+            imgs, nimgs = np.asarray(tr.images), np.asarray(tr.new_images)
+            if imgs.ndim < 4 or imgs.shape != nimgs.shape \
+                    or not np.array_equal(imgs[1:], nimgs[:-1]):
+                self._windows_ok = False
         self.memory.push(*transition)
 
     # -- learning -----------------------------------------------------------------
@@ -219,12 +230,19 @@ class Agent:
 
     def _learn_step(self, state: DDPGState, batch: dict, rng):
         k1, k2 = jax.random.split(rng)
-        images = self._norm(batch["images"])
         speed, command, action = batch["speed"], batch["command"], batch["action"]
         reward = batch["reward"].reshape(-1, 1)
         done = batch["done"].reshape(-1, 1).astype(jnp.float32)
-        n_images = self._norm(batch["new_images"])
         n_speed, n_command = batch["new_speed"], batch["new_command"]
+        if "window" in batch:
+            # consecutive transitions: s / s' are overlapping views of the
+            # (B, T+1)-frame union (staged by _stage_batch); 37.5% less replay
+            # H2D at T=4, and the trunk segments each unique frame once.
+            window = self._norm(batch["window"])
+            images, n_images = window[:, :-1], window[:, 1:]
+        else:
+            images = self._norm(batch["images"])
+            n_images = self._norm(batch["new_images"])
 
         # targets: y = r + gamma * Q'(s', pi'(s')) * (1 - done)
         if self._fused_trunk:
@@ -232,15 +250,22 @@ class Agent:
             # target-actor (s') and actor (s) forwards: same FLOPs, but the
             # convs run at 2B batch (much better MXU utilization than two B
             # passes) and the actor backward skips the trunk entirely. Exact
-            # under the stage-3 freeze — see _can_fuse_trunk.
+            # under the stage-3 freeze — see _can_fuse_trunk. With a window
+            # batch the frozen seg U-Net additionally runs on the T+1 unique
+            # frames instead of the 2T stacked ones (trunk_pair).
             B = images.shape[0]
-            moe_b, punet_b = self.actor_model.apply(
-                {"params": state.actor_params,
-                 "batch_stats": state.actor_batch_stats},
-                jnp.concatenate([images, n_images], axis=0),
-                jnp.concatenate([speed, n_speed], axis=0),
-                jnp.concatenate([command, n_command], axis=0),
-                False, method="trunk", rngs={"sample": k1})
+            spd2 = jnp.concatenate([speed, n_speed], axis=0)
+            cmd2 = jnp.concatenate([command, n_command], axis=0)
+            avars = {"params": state.actor_params,
+                     "batch_stats": state.actor_batch_stats}
+            if "window" in batch:
+                moe_b, punet_b = self.actor_model.apply(
+                    avars, window, spd2, cmd2, False, method="trunk_pair",
+                    rngs={"sample": k1})
+            else:
+                moe_b, punet_b = self.actor_model.apply(
+                    avars, jnp.concatenate([images, n_images], axis=0),
+                    spd2, cmd2, False, method="trunk", rngs={"sample": k1})
             moe_b = jax.lax.stop_gradient(moe_b)
             punet_b = jax.lax.stop_gradient(punet_b)
             target_actions = self.actor_model.apply(
@@ -309,13 +334,22 @@ class Agent:
         return new_state, {"critic_loss": critic_loss, "actor_loss": actor_loss}
 
     def _stage_batch(self):
-        """Sample + start the async host->device upload of one replay batch."""
+        """Sample + start the async host->device upload of one replay batch.
+
+        When every stored transition is consecutive (s' = s shifted one tick)
+        and the fused trunk applies, s/s' frame stacks are uploaded as their
+        (B, T+1)-frame union — 5/8 of the frame bytes at T=4 — and the learn
+        step slices the two stacks back out on device."""
         tr: Transition = self.memory.sample(self.batch_size)
+        batch = tr._asdict()
+        if self._fused_trunk and self._windows_ok:
+            batch["window"] = np.concatenate(
+                [batch.pop("images"), batch.pop("new_images")[:, -1:]], axis=1)
         if self.mesh is not None:
             from ..parallel import shard_batch
 
-            return shard_batch(self.mesh, tr._asdict())
-        return {k: jax.device_put(v) for k, v in tr._asdict().items()}
+            return shard_batch(self.mesh, batch)
+        return {k: jax.device_put(v) for k, v in batch.items()}
 
     def learn(self, fetch_metrics: bool = True):
         """One DDPG update. The NEXT batch's host->device transfer is staged

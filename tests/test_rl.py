@@ -160,6 +160,64 @@ def test_ddpg_fused_pmoe_learn_step(tiny_moe_cfg):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(t))
 
 
+def test_ddpg_window_trunk_matches_stacked(tiny_moe_cfg):
+    """Consecutive transitions (s' = s shifted one tick) take the window path:
+    the 5-frame union is uploaded once and the frozen seg U-Net runs on 5
+    instead of 8 frames. The update must match the plain stacked fused path
+    on the same batch + rng to fp32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmoe_tpu.models.rl_agent import Agent
+
+    params = _tiny_ddpg_params(
+        tiny_moe_cfg,
+        {"type": "pmoe", "exclude_freeze": ["model_weights", "alpha"]})
+    obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
+    agent = Agent(params, obs)
+    assert agent._fused_trunk
+
+    rng = np.random.default_rng(0)
+    for i in range(16):
+        window = rng.integers(0, 255, (5, 32, 32, 3), dtype=np.uint8)
+        agent.remember(
+            window[:4], np.array([0.1], np.float32),
+            np.eye(4)[0].astype(np.float32),
+            np.array([0.0, 0.5], np.float32), np.float32(1.0),
+            window[1:], np.array([0.1], np.float32),
+            np.eye(4)[0].astype(np.float32), np.float32(i == 15))
+    assert agent._windows_ok
+
+    tr = agent.memory.sample(agent.batch_size)
+    plain = {k: jnp.asarray(v) for k, v in tr._asdict().items()}
+    windowed = dict(plain)
+    windowed["window"] = jnp.concatenate(
+        [windowed.pop("images"), windowed.pop("new_images")[:, -1:]], axis=1)
+
+    k = jax.random.PRNGKey(3)
+    state_p, metrics_p = jax.jit(agent._learn_step)(agent.state, plain, k)
+    state_w, metrics_w = jax.jit(agent._learn_step)(agent.state, windowed, k)
+    np.testing.assert_allclose(float(metrics_p["critic_loss"]),
+                               float(metrics_w["critic_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for lp, lw in zip(jax.tree_util.tree_leaves(state_p),
+                      jax.tree_util.tree_leaves(state_w)):
+        np.testing.assert_allclose(np.asarray(lp, np.float32),
+                                   np.asarray(lw, np.float32),
+                                   rtol=2e-4, atol=2e-6)
+
+    # a non-consecutive transition flips the detector off
+    agent.remember(
+        rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+        np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+        np.array([0.0, 0.5], np.float32), np.float32(1.0),
+        rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+        np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+        np.float32(0.0))
+    assert not agent._windows_ok
+    assert "window" not in agent._stage_batch()
+
+
 def test_fuse_gate_rejects_trainable_trunk():
     """Unfreezing real trunk weights (not alpha) must disable the fusion;
     non-pmoe actors never fuse (no full Agent init needed — the gate only
