@@ -9,10 +9,12 @@ conditions) and :class:`BasicScenario` subclasses that assemble behaviors
 with the criteria from :mod:`pmoe_tpu.eval.criteria`.
 
 Implemented scenario classes (srunner analogs — the full upstream
-`srunner/scenarios/` surface minus the route/master scaffolds, which live in
-the evaluators, and OpenSCENARIO, which lives in ``eval/openscenario.py``):
+`srunner/scenarios/` class surface except RouteScenario, which lives in the
+leaderboard evaluator, and OpenSCENARIO, which lives in
+``eval/openscenario.py``):
 
-* :class:`FollowLeadingVehicle`   — follow_leading_vehicle.py:34
+* :class:`FollowLeadingVehicle` / :class:`FollowLeadingVehicleWithObstacle`
+  — follow_leading_vehicle.py:41,175
 * :class:`DynamicObjectCrossing`  — object_crash_vehicle.py (dynamic variant)
 * :class:`StationaryObjectCrossing` — object_crash_vehicle.py (static variant)
 * :class:`ControlLoss`            — control_loss.py:33
@@ -24,8 +26,11 @@ the evaluators, and OpenSCENARIO, which lives in ``eval/openscenario.py``):
 * :class:`NoSignalJunctionCrossing`  — no_signal_junction_crossing.py:28
 * :class:`SignalizedJunctionLeftTurn` / `...RightTurn` —
   signalized_junction_{left,right}_turn.py
-* :class:`VehicleTurningRight` / `VehicleTurningLeft` —
-  object_crash_intersection.py:107,274
+* :class:`SignalJunctionCrossingRoute` / :class:`NoSignalJunctionCrossingRoute`
+  — junction_crossing_route.py:23,118 (route-simplified variants)
+* :class:`VehicleTurningRight` / `VehicleTurningLeft` / `VehicleTurningRoute`
+  — object_crash_intersection.py:107,274,441
+* :class:`MasterScenario`         — master_scenario.py:25
 * :class:`FreeRide`               — freeride.py
 * :class:`BackgroundActivity`     — background_activity.py
 
@@ -45,13 +50,17 @@ from .criteria import CollisionTest, CriteriaTree, RouteCompletionTest
 __all__ = ["Status", "Behavior", "Sequence", "Parallel", "Idle",
            "TriggerOnDistance", "TriggerOnVehicleDistance", "WaitForSeconds",
            "SpawnNPC", "SetNPCSpeed", "SetNPCPath", "RemoveNPC", "SyncArrival",
-           "WaitUntilGreen", "InjectControlNoise", "DriveDistance",
-           "BasicScenario", "FollowLeadingVehicle", "DynamicObjectCrossing",
+           "WaitUntilGreen", "SetLightsGreen", "WaitEndJunction",
+           "InjectControlNoise", "DriveDistance",
+           "BasicScenario", "FollowLeadingVehicle",
+           "FollowLeadingVehicleWithObstacle", "DynamicObjectCrossing",
            "StationaryObjectCrossing", "ControlLoss", "CutIn", "ChangeLane",
            "OtherLeadingVehicle", "ManeuverOppositeDirection",
            "OppositeVehicleRunningRedLight", "NoSignalJunctionCrossing",
            "SignalizedJunctionLeftTurn", "SignalizedJunctionRightTurn",
-           "VehicleTurningRight", "VehicleTurningLeft", "FreeRide",
+           "SignalJunctionCrossingRoute", "NoSignalJunctionCrossingRoute",
+           "VehicleTurningRight", "VehicleTurningLeft", "VehicleTurningRoute",
+           "MasterScenario", "FreeRide",
            "BackgroundActivity", "SCENARIO_CLASSES"]
 
 
@@ -269,6 +278,45 @@ class WaitUntilGreen(Behavior):
         nearest = min(lights, key=lambda l: (l.x - self.position[0]) ** 2
                       + (l.y - self.position[1]) ** 2)
         return Status.RUNNING if nearest.is_red(backend.t) else Status.SUCCESS
+
+
+class SetLightsGreen(Behavior):
+    """Force the traffic lights nearest ``position`` green for ``duration``
+    sim-seconds (srunner TrafficLightManipulator, used by the route variants
+    of the junction scenarios: junction_crossing_route.py:23). Backends
+    without manipulable lights pass."""
+
+    def __init__(self, position, duration: float = 30.0, n_lights: int = 2):
+        self.position = np.asarray(position, float)
+        self.duration = duration
+        self.n_lights = n_lights
+
+    def tick(self, backend, ego) -> Status:
+        lights = getattr(backend, "_lights", None)
+        if lights:
+            nearest = sorted(lights, key=lambda l: (l.x - self.position[0]) ** 2
+                             + (l.y - self.position[1]) ** 2)[:self.n_lights]
+            for light in nearest:
+                if hasattr(light, "forced_green_until"):
+                    light.forced_green_until = backend.t + self.duration
+        return Status.SUCCESS
+
+
+class WaitEndJunction(Behavior):
+    """SUCCESS once the ego has passed ``radius`` beyond the junction point
+    (srunner WaitEndIntersection, junction_crossing_route.py:166)."""
+
+    def __init__(self, junction, radius: float = 20.0):
+        self.junction = np.asarray(junction, float)
+        self._was_inside = False
+        self.radius = radius
+
+    def tick(self, backend, ego) -> Status:
+        d = float(np.hypot(ego.x - self.junction[0], ego.y - self.junction[1]))
+        if d < self.radius:
+            self._was_inside = True
+        return Status.SUCCESS if (self._was_inside and d >= self.radius) \
+            else Status.RUNNING
 
 
 class InjectControlNoise(Behavior):
@@ -603,6 +651,116 @@ class VehicleTurningLeft(_VehicleTurningScenario):
     side = 1.0
 
 
+class FollowLeadingVehicleWithObstacle(BasicScenario):
+    """FollowLeadingVehicle with an obstacle in the LEAD's lane: the lead
+    drives, stops behind a standing cyclist, and resumes once the cyclist
+    clears when the ego closes in
+    (srunner/scenarios/follow_leading_vehicle.py:175 — first actor at 25 m
+    @ 10 m/s, second actor 41 m further @ 1.5 m/s crossing)."""
+
+    timeout = 120.0
+
+    def _create_behavior(self) -> Behavior:
+        lead_a, fwd, left = self._route_frame(25.0)
+        obstacle_at, _, _ = self._route_frame(66.0)
+        lead = SpawnNPC("vehicle", lead_a, obstacle_at - 8.0 * fwd, speed=7.0)
+        cyclist = SpawnNPC("walker", obstacle_at, obstacle_at, speed=0.0)
+        return Sequence([
+            TriggerOnDistance(self._trigger_position(10.0), 12.0),
+            cyclist, lead,
+            TriggerOnVehicleDistance(lead, 20.0),     # ego caught up to lead
+            SetNPCPath(cyclist, obstacle_at + 10.0 * left, speed=1.5),
+            RemoveNPC(cyclist),
+            SetNPCPath(lead, obstacle_at + 80.0 * fwd, speed=7.0),
+            DriveDistance(50.0),
+        ], name="follow_leading_vehicle_with_obstacle")
+
+
+class SignalJunctionCrossingRoute(BasicScenario):
+    """Route-simplified signalized junction crossing: the lights at the
+    junction are forced green so background traffic can conflict with the
+    ego, then the ego must clear the junction and drive on
+    (srunner/scenarios/junction_crossing_route.py:23 — TrafficLightManipulator
+    + DriveDistance(20); criteria MaxVelocity(20, optional) + Collision +
+    DrivenDistance(50))."""
+
+    timeout = 180.0
+    max_velocity_allowed = 20.0
+    expected_driven_distance = 50.0
+    distance_to_drive = 20.0
+    hack_lights = True
+
+    def _create_behavior(self) -> Behavior:
+        junc = self._junction_point()
+        steps: List[Behavior] = []
+        if self.hack_lights:
+            steps.append(SetLightsGreen(junc, duration=120.0))
+        else:
+            steps.append(WaitEndJunction(junc))
+        steps.append(DriveDistance(self.distance_to_drive))
+        return Sequence(steps, name=type(self).__name__)
+
+    def _create_criteria(self) -> List:
+        from .criteria import DrivenDistanceTest, MaxVelocityTest
+
+        return [MaxVelocityTest(self.max_velocity_allowed, optional=True),
+                CollisionTest(),
+                DrivenDistanceTest(self.expected_driven_distance),
+                RouteCompletionTest(self.route)]
+
+
+class NoSignalJunctionCrossingRoute(SignalJunctionCrossingRoute):
+    """Unsignalized route variant: wait until the ego has left the junction,
+    then a short drive-on (junction_crossing_route.py:118 —
+    WaitEndIntersection + DriveDistance)."""
+
+    hack_lights = False
+
+
+class VehicleTurningRoute(_VehicleTurningScenario):
+    """Route variant of VehicleTurning: the crossing actor appears after the
+    junction on whichever side the route turns
+    (srunner/scenarios/object_crash_intersection.py:441)."""
+
+    @property
+    def side(self) -> float:                      # type: ignore[override]
+        for opt in self.route.options:
+            if opt == RoadOption.LEFT:
+                return 1.0
+            if opt == RoadOption.RIGHT:
+                return -1.0
+        return 1.0
+
+
+class MasterScenario(BasicScenario):
+    """The route-controlling master scaffold: behavior is Idle (the ego agent
+    drives), the criteria tree is the full leaderboard set
+    (srunner/scenarios/master_scenario.py:25 — Collision, InRoute(30,
+    terminal), RouteCompletion, OutsideRouteLanes, RunningRedLight,
+    RunningStop, blocked ActorSpeedAboveThreshold(0.1, 90 s, terminal))."""
+
+    timeout = 300.0
+
+    def _create_behavior(self) -> Behavior:
+        # Reference behavior is pure Idle (the criteria terminate the episode);
+        # the DriveDistance terminator reports behavior SUCCESS just before the
+        # RouteCompletion criterion ends the episode.
+        return Parallel([Idle(), DriveDistance(0.85 * self.route.length)],
+                        name="master_scenario")
+
+    def _create_criteria(self) -> List:
+        from .criteria import (BlockedTest, InRouteTest, OutsideRouteLanesTest,
+                               RunningRedLightTest, RunningStopTest)
+
+        return [CollisionTest(),
+                InRouteTest(self.route, max_dist=30.0),
+                RouteCompletionTest(self.route),
+                OutsideRouteLanesTest(self.backend),
+                RunningRedLightTest(self.backend),
+                RunningStopTest(self.backend),
+                BlockedTest(speed_threshold=0.1, max_time=90.0)]
+
+
 class FreeRide(BasicScenario):
     """No scripted adversary — criteria-only free driving
     (srunner/scenarios/freeride.py)."""
@@ -653,6 +811,11 @@ SCENARIO_CLASSES = {
     "SignalizedJunctionRightTurn": SignalizedJunctionRightTurn,
     "VehicleTurningRight": VehicleTurningRight,
     "VehicleTurningLeft": VehicleTurningLeft,
+    "VehicleTurningRoute": VehicleTurningRoute,
+    "FollowLeadingVehicleWithObstacle": FollowLeadingVehicleWithObstacle,
+    "SignalJunctionCrossingRoute": SignalJunctionCrossingRoute,
+    "NoSignalJunctionCrossingRoute": NoSignalJunctionCrossingRoute,
+    "MasterScenario": MasterScenario,
     "FreeRide": FreeRide,
     "BackgroundActivity": BackgroundActivity,
 }

@@ -27,7 +27,8 @@ from ..sim.interface import CollisionEvent, EgoState, Route, SIM_DT
 
 __all__ = ["Criterion", "CollisionTest", "RouteCompletionTest",
            "RunningRedLightTest", "RunningStopTest", "OutsideRouteLanesTest",
-           "InRouteTest", "BlockedTest", "TimeoutTest", "CriteriaTree"]
+           "InRouteTest", "BlockedTest", "TimeoutTest", "MaxVelocityTest",
+           "DrivenDistanceTest", "CriteriaTree"]
 
 
 class Criterion:
@@ -142,6 +143,45 @@ class BlockedTest(Criterion):
         if self._blocked_time >= self.max_time:
             self.test_status = "FAILURE"
             self.events.append({"type": "blocked", "frame": frame.frame})
+
+
+class MaxVelocityTest(Criterion):
+    """Speed-limit check (srunner atomic_criteria.py MaxVelocityTest:83):
+    failure when the ego exceeds ``max_velocity`` m/s. ``optional`` mirrors the
+    srunner flag — recorded but not part of pass/fail aggregation."""
+
+    name = "MaxVelocityTest"
+
+    def __init__(self, max_velocity: float, optional: bool = False, **kw):
+        super().__init__(**kw)
+        self.max_velocity = max_velocity
+        self.optional = optional
+
+    def update(self, ego: EgoState, frame) -> None:
+        self.actual_value = max(self.actual_value, float(ego.speed))
+        if ego.speed > self.max_velocity:
+            self.test_status = "FAILURE"
+            self.events.append({"type": "max_velocity", "frame": frame.frame,
+                                "speed": float(ego.speed)})
+
+
+class DrivenDistanceTest(Criterion):
+    """Minimum-driven-distance check (srunner atomic_criteria.py
+    DrivenDistanceTest:126): SUCCESS once the ego's integrated path length
+    reaches ``distance_success``; reported as failure if the episode ends
+    short (the evaluator reads ``test_status`` at teardown)."""
+
+    name = "DrivenDistanceTest"
+
+    def __init__(self, distance_success: float, **kw):
+        super().__init__(**kw)
+        self.distance_success = distance_success
+        self.test_status = "FAILURE"        # until the distance is reached
+
+    def update(self, ego: EgoState, frame) -> None:
+        self.actual_value += float(ego.speed) * SIM_DT
+        if self.actual_value >= self.distance_success:
+            self.test_status = "SUCCESS"
 
 
 class RunningStopTest(Criterion):

@@ -71,8 +71,11 @@ class _TrafficLight:
     def __init__(self, x: float, y: float, phase_offset: float):
         self.x, self.y = x, y
         self.phase_offset = phase_offset
+        self.forced_green_until = -np.inf   # TrafficLightManipulator support
 
     def is_red(self, t: float) -> bool:
+        if t < self.forced_green_until:
+            return False
         return ((t + self.phase_offset) % (2 * _LIGHT_PERIOD)) >= _LIGHT_PERIOD
 
 

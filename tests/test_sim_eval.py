@@ -690,8 +690,59 @@ def test_scenario_classes_run_to_success(name):
         backend, SCENARIO_CLASSES[name], ScriptedFollowAgent(None),
         target_idx=5, max_ticks=4000, verbose=False)
     assert scenario.status == Status.SUCCESS
-    if name not in ("ControlLoss", "FreeRide"):
+    if name not in ("ControlLoss", "FreeRide", "SignalJunctionCrossingRoute",
+                    "NoSignalJunctionCrossingRoute", "MasterScenario"):
         assert backend._npcs            # scenario spawned its adversary
+
+
+def test_max_velocity_and_driven_distance_criteria():
+    """MaxVelocityTest peaks-and-fails above the limit; DrivenDistanceTest
+    flips to SUCCESS once the integrated path length is reached (srunner
+    atomic_criteria.py:83,126 semantics)."""
+    from pmoe_tpu.eval.criteria import DrivenDistanceTest, MaxVelocityTest
+    from pmoe_tpu.sim.interface import SIM_DT, EgoState
+
+    class _F:
+        frame = 0
+
+    mv = MaxVelocityTest(5.0, optional=True)
+    dd = DrivenDistanceTest(4.0)
+    ego_slow = EgoState(x=0, y=0, yaw=0, speed=3.0)
+    ego_fast = EgoState(x=0, y=0, yaw=0, speed=6.0)
+    for _ in range(int(1.0 / SIM_DT)):           # 1 s at 3 m/s -> 3 m
+        mv.update(ego_slow, _F)
+        dd.update(ego_slow, _F)
+    assert mv.test_status != "FAILURE" and dd.test_status == "FAILURE"
+    for _ in range(int(1.0 / SIM_DT)):           # 1 s at 6 m/s -> 9 m total
+        mv.update(ego_fast, _F)
+        dd.update(ego_fast, _F)
+    assert mv.test_status == "FAILURE" and mv.actual_value == 6.0
+    assert dd.test_status == "SUCCESS"
+
+
+def test_set_lights_green_behavior():
+    """SetLightsGreen (TrafficLightManipulator analog) forces the nearest
+    lights green for the window, then the phase schedule resumes."""
+    from pmoe_tpu.eval.behaviors import SetLightsGreen, Status
+    from pmoe_tpu.sim.interface import EgoState
+
+    backend = FakeCarlaBackend(render=False)
+    backend.reset(backend.trace_route(0, 1))
+    light = min(backend._lights, key=lambda l: l.x ** 2 + l.y ** 2)
+    # find a sim time where the light is red on its own schedule
+    t_red = next(t * 0.5 for t in range(200) if light.is_red(t * 0.5))
+    backend.t = t_red
+    assert light.is_red(backend.t)
+    ego = EgoState(x=light.x, y=light.y, yaw=0, speed=0.0)
+    assert SetLightsGreen((light.x, light.y), duration=10.0).tick(
+        backend, ego) == Status.SUCCESS
+    assert not light.is_red(backend.t)
+    assert light.forced_green_until == backend.t + 10.0
+    # past the forced window the phase schedule resumes: t_red's phase repeats
+    from pmoe_tpu.sim.fake_carla import _LIGHT_PERIOD
+
+    resumed = t_red + 2 * _LIGHT_PERIOD * int(10.0 / (2 * _LIGHT_PERIOD) + 1)
+    assert light.is_red(resumed)
 
 
 def test_npc_retarget_is_phase_continuous():
