@@ -77,6 +77,11 @@ class CarlaBackend(DrivingBackend):
     def spawn_points(self) -> Sequence[Tuple[float, float]]:
         return [(t.location.x, t.location.y) for t in self._spawn_transforms]
 
+    def to_opendrive(self) -> str:
+        """The town's OpenDRIVE document (sensor.opendrive_map payload,
+        reference sensor_interface.py:322-324)."""
+        return self._map.to_opendrive()
+
     def trace_route(self, start_idx: int, target_idx: int) -> Route:
         from agents.navigation.global_route_planner import GlobalRoutePlanner
         try:

@@ -324,6 +324,51 @@ class FakeCarlaBackend(DrivingBackend):
     def ego_state(self) -> EgoState:
         return EgoState(self._ego.x, self._ego.y, self._ego.yaw, self._ego.speed)
 
+    def to_opendrive(self) -> str:
+        """Minimal OpenDRIVE (.xodr) document of the grid town — one straight
+        road with two 3.5 m driving lanes per grid line, plus the geoReference
+        header the reference's GPS conversion reads
+        (route_manipulation.py:21-44). Backs the ``sensor.opendrive_map``
+        pseudo-sensor (reference sensor_interface.py:322-324)."""
+        if getattr(self, "_xodr", None) is not None:
+            return self._xodr
+        span = self._grid_n * _BLOCK
+        roads = []
+        rid = 0
+        for i in range(self._grid_n + 1):
+            c = i * _BLOCK
+            for name, x, y, hdg in ((f"h{i}", 0.0, c, 0.0),
+                                    (f"v{i}", c, 0.0, 1.5707963267948966)):
+                rid += 1
+                roads.append(
+                    f'  <road name="{name}" length="{span:.1f}" id="{rid}" '
+                    'junction="-1">\n'
+                    '    <planView>\n'
+                    f'      <geometry s="0.0" x="{x:.1f}" y="{y:.1f}" '
+                    f'hdg="{hdg}" length="{span:.1f}"><line/></geometry>\n'
+                    '    </planView>\n'
+                    '    <lanes><laneSection s="0.0">\n'
+                    '      <left><lane id="1" type="driving" level="false">'
+                    '<width sOffset="0.0" a="3.5" b="0" c="0" d="0"/>'
+                    '</lane></left>\n'
+                    '      <center><lane id="0" type="none" level="false"/>'
+                    '</center>\n'
+                    '      <right><lane id="-1" type="driving" level="false">'
+                    '<width sOffset="0.0" a="3.5" b="0" c="0" d="0"/>'
+                    '</lane></right>\n'
+                    '    </laneSection></lanes>\n'
+                    '  </road>')
+        geo = ("+proj=tmerc +lat_0=0 +lon_0=0 +k=1 +x_0=0 +y_0=0 "
+               "+datum=WGS84 +units=m +no_defs")
+        self._xodr = (
+            '<?xml version="1.0" standalone="yes"?>\n<OpenDRIVE>\n'
+            f'  <header revMajor="1" revMinor="4" name="{self.town}" '
+            'version="1.0" north="{0:.1f}" south="0.0" east="{0:.1f}" '
+            'west="0.0">\n'.format(span)
+            + f'    <geoReference><![CDATA[{geo}]]></geoReference>\n'
+            '  </header>\n' + "\n".join(roads) + "\n</OpenDRIVE>\n")
+        return self._xodr
+
     # -- sensors -----------------------------------------------------------------
     def _sensor_frame(self, collision) -> SensorFrame:
         lat, lon = xy_to_latlon(self._ego.x, self._ego.y)

@@ -168,7 +168,8 @@ class SensorHub:
 
     def __init__(self, timeout: float = 10.0, with_camera: bool = True,
                  birdview_fn: Optional[Callable] = None,
-                 stitch_fn: Optional[Callable] = None):
+                 stitch_fn: Optional[Callable] = None,
+                 opendrive_fn: Optional[Callable] = None):
         self.iface = SensorInterface(timeout=timeout)
         self.with_camera = with_camera
         if with_camera:
@@ -190,6 +191,12 @@ class SensorHub:
             # StitchCameraReader analog (reference sensor_interface.py:53-154)
             self.readers.append(
                 PseudoSensorReader(self.iface, "STITCH_RGB", stitch_fn))
+        if opendrive_fn is not None:
+            # OpenDriveMapReader analog (reference sensor_interface.py:322-324):
+            # delivers {'opendrive': <xodr string>} — the map is static, so the
+            # callable caches the document and each frame re-delivers it
+            self.readers.append(
+                PseudoSensorReader(self.iface, "OPENDRIVE", opendrive_fn))
 
     @classmethod
     def for_agent(cls, agent, backend, route=None, timeout: float = 10.0,
@@ -212,9 +219,14 @@ class SensorHub:
         if any(s.get("type") == "sensor.stitch_camera.rgb" for s in sensors) \
                 and hasattr(backend, "render_stitch"):
             stitch_fn = lambda f: backend.render_stitch()[..., ::-1]  # BGR
+        opendrive_fn = None
+        if any(s.get("type") == "sensor.opendrive_map" for s in sensors) \
+                and hasattr(backend, "to_opendrive"):
+            opendrive_fn = lambda f: {"opendrive": backend.to_opendrive()}
         return cls(timeout=timeout,
                    with_camera=wants_camera and has_camera,
-                   birdview_fn=birdview_fn, stitch_fn=stitch_fn)
+                   birdview_fn=birdview_fn, stitch_fn=stitch_fn,
+                   opendrive_fn=opendrive_fn)
 
     def on_frame(self, frame: SensorFrame) -> None:
         """Dispatch one synchronous tick's sensor payloads."""

@@ -629,6 +629,45 @@ def test_stitch_camera_panorama():
         hub.stop()
 
 
+def test_opendrive_map_pseudo_sensor():
+    """sensor.opendrive_map delivers the town's .xodr document through the
+    hub (reference OpenDriveMapReader, sensor_interface.py:322-324); the fake
+    backend emits a parseable OpenDRIVE grid with driving lanes and the
+    geoReference header the reference's GPS conversion reads."""
+    import xml.etree.ElementTree as ET
+
+    from pmoe_tpu.sim.sensor_interface import SensorHub
+
+    b = FakeCarlaBackend(render=False)
+    b.reset(b.trace_route(0, 2))
+    root = ET.fromstring(b.to_opendrive())
+    assert root.tag == "OpenDRIVE"
+    roads = root.findall("road")
+    assert len(roads) == 2 * (b._grid_n + 1)
+    assert root.find("header/geoReference") is not None
+    lane_types = {l.get("type") for l in roads[0].iter("lane")}
+    assert "driving" in lane_types
+
+    class MapAgent(FollowAgent):
+        def setup(self, cfg):
+            super().setup(cfg)
+            from pmoe_tpu.agents.autonomous_agent import Track
+
+            self.track = Track.MAP
+
+        def sensors(self):
+            return [{"type": "sensor.opendrive_map", "id": "OPENDRIVE"},
+                    {"type": "sensor.other.gnss", "id": "GPS"}]
+
+    hub = SensorHub.for_agent(MapAgent(None), b)
+    try:
+        hub.on_frame(b.tick(VehicleControl()))
+        data = hub.get_data()
+        assert data["OPENDRIVE"][1]["opendrive"] == b.to_opendrive()
+    finally:
+        hub.stop()
+
+
 def test_nocrash_suite_files():
     """Route suites load from the reference's one-pair-per-line format and
     back the evaluator's default route list."""
