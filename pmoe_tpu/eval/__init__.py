@@ -1,7 +1,8 @@
 from .criteria import (Criterion, CollisionTest, RouteCompletionTest,
                        RunningRedLightTest, RunningStopTest,
                        OutsideRouteLanesTest, InRouteTest, BlockedTest,
-                       TimeoutTest, CriteriaTree)
+                       TimeoutTest, MaxVelocityTest, DrivenDistanceTest,
+                       CriteriaTree)
 from .statistics import (NoCrashStatisticsManager, StatisticsManager,
                          RouteRecord, PENALTY_VALUES)
 from .manager import run_episode, EpisodeResult
@@ -24,7 +25,8 @@ from ..sim.sensor_interface import AgentError, SensorReceivedNoData
 __all__ = [
     "Criterion", "CollisionTest", "RouteCompletionTest", "RunningRedLightTest",
     "InRouteTest", "BlockedTest", "TimeoutTest", "CriteriaTree",
-    "RunningStopTest", "OutsideRouteLanesTest",
+    "RunningStopTest", "OutsideRouteLanesTest", "MaxVelocityTest",
+    "DrivenDistanceTest",
     "NoCrashStatisticsManager", "StatisticsManager", "RouteRecord",
     "PENALTY_VALUES", "NoCrashEvaluator", "WEATHERS", "TRAFFIC_TABLES",
     "LeaderboardEvaluator", "RouteIndexer", "RouteConfig", "view_results",
