@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 
 from ..sim.fake_carla import FakeCarlaBackend
-from .collector_agent import collect_episode
+from .collector_agent import RandomCollectorAgent, collect_episode
 
 __all__ = ["main"]
 
@@ -27,6 +27,9 @@ def main(argv=None):
                         choices=["fake", "carla"])
     parser.add_argument("--noise", type=float, default=0.0,
                         help="expert action noise std (noisy-expert data)")
+    parser.add_argument("--random", action="store_true",
+                        help="random-action policy (the reference phase-0 "
+                             "random collector) instead of the expert follower")
     parser.add_argument("--max-ticks", type=int, default=500)
     parser.add_argument("--img-width", type=int, default=800)
     parser.add_argument("--img-height", type=int, default=600)
@@ -54,7 +57,8 @@ def main(argv=None):
                 start_idx=start, target_idx=target,
                 weather=weathers[ep % len(weathers)],
                 max_ticks=args.max_ticks, noise_std=args.noise,
-                seed=args.seed + ep)
+                seed=args.seed + ep,
+                agent_cls=RandomCollectorAgent if args.random else None)
             total += n
             print(f"[collect] episode_{ep:03d}: {n} frames "
                   f"({start}->{target})")

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import math
 from pathlib import Path
+from typing import Optional
 
 import cv2
 import numpy as np
@@ -23,7 +24,8 @@ from ..sim.interface import RoadOption, VehicleControl
 from .autonomous_agent import AutonomousAgent
 from .waypointer import Waypointer
 
-__all__ = ["CollectorAgent", "collect_episode", "get_entry_point"]
+__all__ = ["CollectorAgent", "RandomCollectorAgent",
+           "CollectorCollision", "collect_episode", "get_entry_point"]
 
 
 def get_entry_point() -> str:
@@ -74,6 +76,11 @@ class CollectorAgent(AutonomousAgent):
                 steer + self._rng.normal(0, self.noise_std), -1, 1))
 
         # record the tick
+        self._record(input_data, cmd, steer, throttle, 0.0, spd)
+        return VehicleControl(steer=steer, throttle=throttle, brake=0.0)
+
+    def _record(self, input_data, cmd, steer, throttle, brake, spd) -> None:
+        """Write one (rgb, mask, measurements) tick in the dataset layout."""
         if self.idx % self.save_every == 0:
             name = f"{self.idx:06d}"
             _, rgb_bgr = input_data["Narrow_RGB"]
@@ -83,35 +90,100 @@ class CollectorAgent(AutonomousAgent):
             if seg is not None:
                 cv2.imwrite(str(self._ep_dir / "mask" / f"{name}.png"), seg[1])
             cmd_value = int(cmd) if int(cmd) > 0 else int(RoadOption.LANEFOLLOW)
-            meas = {"steer": steer, "brake": 0.0, "throttle": float(throttle),
+            meas = {"steer": float(steer), "brake": float(brake),
+                    "throttle": float(throttle),
                     "speed": float(spd),
                     "target_speed": float(self.target_speed),
                     "command": cmd_value}
             (self._ep_dir / "measurements" / f"{name}.json").write_text(
                 json.dumps(meas))
         self.idx += 1
-        return VehicleControl(steer=steer, throttle=throttle, brake=0.0)
+
+
+class RandomCollectorAgent(CollectorAgent):
+    """Random-action collector (reference
+    /root/reference/PMoE/autoagents/collector_agents/random_collector.py):
+    uniformly random steer/throttle with a full-brake event at probability
+    ``1/(num_steers*num_throts+1)`` (:147), each action held for
+    ``num_repeat`` ticks (the reference's action-repeat counter :35), the
+    first ``num_ignore_first`` frames unrecorded (:144), and a collision
+    aborts the episode (:126 raises). Episodes land in the framework's
+    ``rgb/mask/measurements`` layout rather than WoR lmdb (no lmdb in this
+    environment; ``data/dataset.py`` consumes the layout directly)."""
+
+    def setup(self, config) -> None:
+        super().setup(config)
+        config = config or {}
+        self.num_repeat = int(config.get("num_repeat", 4))
+        self.num_ignore_first = int(config.get("num_ignore_first", 10))
+        self.max_steers = float(config.get("max_steers", 0.3))
+        self.max_throts = float(config.get("max_throts", 0.75))
+        num_steers = int(config.get("num_steers", 3))
+        num_throts = int(config.get("num_throts", 3))
+        self.brake_prob = 1.0 / (num_steers * num_throts + 1)
+        self._frames = 0
+        self._held: Optional[tuple] = None
+        self._held_for = 0
+
+    def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
+        col = input_data.get("COLLISION", (0, False))[1]
+        if col:
+            raise CollectorCollision("Collector has collided")
+        _, gps = input_data["GPS"]
+        _, ego = input_data["EGO"]
+        if self.waypointer is None:
+            self.waypointer = Waypointer(self._global_plan, gps,
+                                         threshold_before=25.0,
+                                         threshold_after=25.0)
+        _, _, cmd = self.waypointer.tick(gps)
+
+        if self._held is None or self._held_for >= self.num_repeat:
+            if self._rng.random() < self.brake_prob:
+                self._held = (0.0, 0.0, 1.0)
+            else:
+                self._held = (
+                    float(self._rng.uniform(-self.max_steers, self.max_steers)),
+                    float(self._rng.uniform(0.0, self.max_throts)), 0.0)
+            self._held_for = 0
+        steer, throttle, brake = self._held
+        self._held_for += 1
+
+        if self._frames >= self.num_ignore_first:
+            self._record(input_data, cmd, steer, throttle, brake, ego["spd"])
+        self._frames += 1
+        return VehicleControl(steer=steer, throttle=throttle, brake=brake)
+
+
+class CollectorCollision(RuntimeError):
+    """The random collector hit something; the episode is aborted
+    (reference random_collector.py:126)."""
 
 
 def collect_episode(backend, out_dir: str, episode: str, start_idx: int = 0,
                     target_idx: int = 5, weather: int = 1,
                     max_ticks: int = 500, noise_std: float = 0.0,
-                    seed: int = 0) -> int:
+                    seed: int = 0, agent_cls=None) -> int:
     """Run one collection episode on a backend with seg rendering; returns the
-    number of recorded frames."""
+    number of recorded frames. ``agent_cls`` selects the policy
+    (CollectorAgent expert follower by default, RandomCollectorAgent for the
+    reference's phase-0 random data)."""
     from ..eval.nocrash import build_input_data
 
     route = backend.trace_route(start_idx, target_idx)
     frame = backend.reset(route, weather=weather, seed=seed)
-    agent = CollectorAgent({"out_dir": out_dir, "episode": episode,
-                            "noise_std": noise_std, "seed": seed})
+    agent = (agent_cls or CollectorAgent)(
+        {"out_dir": out_dir, "episode": episode,
+         "noise_std": noise_std, "seed": seed})
     agent.set_global_plan(route.gps_plan())
     for _ in range(max_ticks):
         data = build_input_data(frame)
         data["COMPASS"] = (frame.frame, frame.compass)
         if frame.seg is not None:
             data["SEG"] = (frame.frame, frame.seg)
-        control = agent.run_step(data, frame.timestamp)
+        try:
+            control = agent.run_step(data, frame.timestamp)
+        except CollectorCollision:
+            break
         frame = backend.tick(control)
         if frame.collision is not None:
             break

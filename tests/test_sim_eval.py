@@ -517,6 +517,43 @@ def test_collect_roundtrip_feeds_datasets(tmp_path):
     assert {"speed", "control", "command"} <= set(meas)
 
 
+def test_random_collector_agent(tmp_path):
+    """RandomCollectorAgent (reference random_collector.py): actions repeat
+    for num_repeat ticks, the first num_ignore_first frames are unrecorded,
+    brake events are all-or-nothing, and a collision aborts via
+    CollectorCollision."""
+    from pmoe_tpu.agents.collector_agent import (CollectorCollision,
+                                                 RandomCollectorAgent,
+                                                 collect_episode)
+
+    backend = FakeCarlaBackend(img_width=160, img_height=120, render_seg=True)
+    n = collect_episode(backend, str(tmp_path), "episode_000", max_ticks=40,
+                        agent_cls=RandomCollectorAgent, seed=3)
+    assert 0 < n <= 40 - 10          # first 10 frames ignored
+    import json as _json
+
+    meas_dir = tmp_path / "episode_000" / "measurements"
+    recs = [_json.loads(p.read_text()) for p in sorted(meas_dir.iterdir())]
+    assert len(recs) == n
+    # brake events are full-brake with zero steer/throttle
+    for r in recs:
+        if r["brake"] > 0:
+            assert r["brake"] == 1.0 and r["steer"] == 0.0 \
+                and r["throttle"] == 0.0
+    # action-repeat: consecutive recorded actions change at most every tick
+    # but identical (steer, throttle) runs of >= 2 must exist at repeat 4
+    keys = [(r["steer"], r["throttle"], r["brake"]) for r in recs]
+    assert any(a == b for a, b in zip(keys, keys[1:]))
+
+    # collision aborts through the agent (reference raises, :126)
+    agent = RandomCollectorAgent({"out_dir": str(tmp_path),
+                                  "episode": "episode_001"})
+    agent.set_global_plan([(0.0, 0.0, 4)])
+    with pytest.raises(CollectorCollision):
+        agent.run_step({"COLLISION": (0, True)}, 0.0)
+    agent.destroy()
+
+
 def test_weather_evolves_during_episode():
     """WeatherBehavior analog: illumination changes with game time."""
     b = FakeCarlaBackend(img_width=64, img_height=48)
