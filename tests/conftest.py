@@ -70,6 +70,36 @@ def synthetic_root(tmp_path_factory) -> Path:
     return root
 
 
+@pytest.fixture(scope="session")
+def synthetic_root_small(tmp_path_factory) -> Path:
+    """One 12-frame episode — for the execution-heavy stage-0/1 epoch tests,
+    where per-step CPU cost (full-width U-Net) dominates suite time and 2-3
+    batches exercise the same mechanics as 8."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("carla_data_small")
+    rng = np.random.default_rng(1)
+    d = root / "episode_000"
+    for sub in ("rgb", "mask", "measurements"):
+        (d / sub).mkdir(parents=True)
+    for i in range(12):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        cv2.imwrite(str(d / "rgb" / f"{i:05d}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        mask = rng.integers(0, 23, (64, 64), dtype=np.uint8)
+        cv2.imwrite(str(d / "mask" / f"{i:05d}.png"), mask)
+        meas = {
+            "steer": float(rng.uniform(-1, 1)),
+            "brake": float(rng.uniform(0, 0.2)),
+            "throttle": float(rng.uniform(0, 1)),
+            "speed": float(rng.uniform(0, 10)),
+            "target_speed": float(rng.uniform(0, 10)),
+            "command": int(rng.integers(1, 5)),
+        }
+        (d / "measurements" / f"{i:05d}.json").write_text(json.dumps(meas))
+    return root
+
+
 TINY_GEOM = dict(crop=(8, 8), resize=(32, 32))
 
 

@@ -35,16 +35,16 @@ def _dataset_cfg(root, **extra):
     return d
 
 
-def test_stage0_one_epoch(synthetic_root, tmp_path):
+def test_stage0_one_epoch(synthetic_root_small, tmp_path):
     from pmoe_tpu.trainer.train_0 import Learner
 
-    cfg = _base_cfg(synthetic_root, tmp_path, "unet")
-    cfg["dataset"] = _dataset_cfg(synthetic_root)
-    cfg["val_dataset"] = _dataset_cfg(synthetic_root)
+    cfg = _base_cfg(synthetic_root_small, tmp_path, "unet")
+    cfg["dataset"] = _dataset_cfg(synthetic_root_small)
+    cfg["val_dataset"] = _dataset_cfg(synthetic_root_small)
     cfg["model"] = {"in_features": 3, "out_features": 23, "gamma": 2, "b": 1}
     learner = Learner(Config(cfg))
     learner.train()
-    assert learner.iteration == 8           # 32 samples / bs 4
+    assert learner.iteration == 3           # 12 samples / bs 4
     assert (tmp_path / "ckpt" / "unet-best.ckpt").exists()
     # SWA kicked in at epoch 1 and produced a -swa checkpoint
     assert any(p.name.endswith("-swa.ckpt")
@@ -54,15 +54,16 @@ def test_stage0_one_epoch(synthetic_root, tmp_path):
     assert "dice_Road" in val
 
 
-def test_stage1_one_epoch_freezes_unet(synthetic_root, tmp_path):
+def test_stage1_one_epoch_freezes_unet(synthetic_root_small, tmp_path):
     from pmoe_tpu.trainer.train_1 import Learner
 
-    cfg = _base_cfg(synthetic_root, tmp_path, "punet")
+    cfg = _base_cfg(synthetic_root_small, tmp_path, "punet")
     cfg["train_params"]["swa_start"] = 99
     cfg["train_params"]["loss_type"] = "tversky"
     # future_frames=1 halves the rollout graph; the scan/remat structure and
-    # freeze semantics under test are identical
-    cfg["dataset"] = _dataset_cfg(synthetic_root, past_frames=4,
+    # freeze semantics under test are identical; the 8-frame episode keeps
+    # the full-width U-Net's CPU execution cost inside the suite budget
+    cfg["dataset"] = _dataset_cfg(synthetic_root_small, past_frames=4,
                                   future_frames=1)
     cfg["val_dataset"] = dict(cfg["dataset"])
     cfg["model"] = {"past_frames": 4, "future_frames": 1, "in_features": 3,
