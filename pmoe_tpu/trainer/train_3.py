@@ -105,11 +105,15 @@ def train(cfg) -> Agent:
                            action.astype(np.float32), np.float32(reward),
                            n_images[0], n_speed[0], n_command[0],
                            np.float32(done))
-            metrics = agent.learn()
+            # fetch (device->host sync) the learn metrics only on logging
+            # ticks: every other step stays fully asynchronous, so the 20 Hz
+            # env loop never blocks on the tunnel round-trip
+            fetch = (step + 1) % 50 == 0
+            metrics = agent.learn(fetch_metrics=fetch)
             images, speed, command = n_images, n_speed, n_command
             ep_reward += reward
             step += 1
-            if metrics and step % 50 == 0:
+            if metrics and fetch:
                 logger.log_metrics(metrics, step=step, epoch=episode)
         logger.log_metrics({"episode_reward": ep_reward,
                             "route_completion": info["route_completion"]},
