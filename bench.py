@@ -146,7 +146,8 @@ def bench_stage3():
     assert metrics and np.isfinite(metrics["critic_loss"])
 
     steps_per_sec = 0.0
-    for _w in range(2):                # best of 2 windows (see stage-2 note)
+    for _w in range(3):                # best of 3 windows: relay load varies
+                                       # several-x between minutes (PERF.md)
         n_steps = 5
         t0 = time.perf_counter()
         for _ in range(n_steps):
