@@ -31,6 +31,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES",
                       "xla_gpu_per_fusion_autotune_cache_dir")
+if "jax" in _sys.modules:
+    # jax was pre-imported (TPU sitecustomize) BEFORE the env vars above, so
+    # its config captured cache_dir=None at import time and the persistent
+    # cache silently never engages — set it through the live config too
+    import jax as _jax2
+
+    _jax2.config.update("jax_compilation_cache_dir",
+                        os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax2.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax2.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import json
 from pathlib import Path
