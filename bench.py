@@ -131,14 +131,16 @@ def bench_stage3():
                   dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    # consecutive transitions (s' = s shifted one tick), the closed-loop
-    # collection pattern — exercises the window-dedup fused-trunk path
-    window = rng.integers(0, 255, (5, 224, 224, 3), np.uint8)
-    for _ in range(BATCH3 + 1):
-        agent.remember(window[:4], np.float32([1.0]),
+    # one rolling episode of consecutive transitions (s' = s shifted one
+    # tick), the closed-loop collection pattern — engages the device frame
+    # pool (one 150 KB frame upload per tick, on-device window gather) and
+    # the window-dedup fused trunk
+    frames = rng.integers(0, 255, (BATCH3 + 6, 224, 224, 3), np.uint8)
+    for i in range(BATCH3 + 1):
+        agent.remember(frames[i:i + 4], np.float32([1.0]),
                        np.eye(n_commands, dtype=np.float32)[0],
                        np.float32([0.1, 0.5]), np.float32(1.0),
-                       window[1:], np.float32([1.1]),
+                       frames[i + 1:i + 5], np.float32([1.1]),
                        np.eye(n_commands, dtype=np.float32)[0],
                        np.float32(0.0))
 
@@ -156,12 +158,9 @@ def bench_stage3():
         steps_per_sec = max(steps_per_sec,
                             n_steps / (time.perf_counter() - t0))
 
-    tr = agent.memory.sample(agent.batch_size)
-    batch = tr._asdict()
-    if agent._fused_trunk and agent._windows_ok:   # count the executed path
-        batch["window"] = np.concatenate(
-            [batch.pop("images"), batch.pop("new_images")[:, -1:]], axis=1)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch = agent._stage_batch()                   # count the executed path
+    if "frame_start" in batch:
+        batch = dict(batch, frame_pool=agent._pool)
     try:
         cost = op_counter(agent._learn_step, agent.state, batch,
                           jax.random.PRNGKey(1))

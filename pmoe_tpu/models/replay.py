@@ -56,7 +56,22 @@ class ReplayMemory:
 
     def sample(self, batch_size: int) -> Transition:
         """Batched Transition with a leading batch axis per field."""
-        idx = self._rng.choice(self._size, size=batch_size, replace=False)
+        return self.sample_at(self.sample_indices(batch_size))
+
+    def sample_indices(self, batch_size: int,
+                       valid: np.ndarray | None = None) -> np.ndarray:
+        """Uniform ring indices; ``valid`` (bool over the ring) restricts the
+        draw — the device-replay path excludes entries whose frames were
+        overwritten in the frame pool (models/rl_agent.py)."""
+        if valid is None:
+            return self._rng.choice(self._size, size=batch_size, replace=False)
+        pool = np.flatnonzero(valid[:self._size])
+        if len(pool) == 0:
+            raise ValueError("no valid replay entries to sample")
+        return self._rng.choice(pool, size=batch_size,
+                                replace=len(pool) < batch_size)
+
+    def sample_at(self, idx: np.ndarray) -> Transition:
         return Transition(**{k: v[idx] for k, v in self._buffers.items()})
 
     def __len__(self) -> int:

@@ -17,6 +17,7 @@ action MLP encoders (128 each) -> value MLP(896 -> ... -> 1).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Mapping, NamedTuple
 
@@ -33,6 +34,11 @@ from .moe import get_model, _build_backbone, _mlp, _fold_time
 from .replay import ReplayMemory, Transition
 
 __all__ = ["Critic", "Agent", "DDPGState"]
+
+#: slack between the frame pool and the replay ring: entries whose window
+#: start is within this many frames of being overwritten are excluded from
+#: sampling (covers the one-step staging gap of the double-buffered batch)
+_POOL_MARGIN = 8
 
 
 class Critic(nn.Module):
@@ -158,6 +164,22 @@ class Agent:
         self._act_jit = jax.jit(self._act)
         self._staged = None                 # double-buffered replay batch
         self._windows_ok = True             # all transitions consecutive so far
+        self._past_frames = int(images.shape[1])
+
+        # Device-resident replay frame pool (Anakin/Sebulba-style TPU RL):
+        # each remember() uploads the ONE new frame of the rolling window and
+        # the learn step gathers its (B, T+1)-frame windows on device by
+        # index, so replay frames never re-cross host->device. Engaged when
+        # the whole buffer's frames fit the memory budget
+        # (PMOE_DEVICE_REPLAY_BUDGET_MB, default 2048); the reference-scale
+        # 100k buffer falls back to host ring buffers + streamed windows.
+        self._device_replay = params.get("device_replay", "auto")
+        self._pool = None                   # uint8 (F, H, W, C) on device
+        self._pool_F = 0
+        self._pool_w = 0                    # monotone frame-write counter
+        self._tr_start = None               # per-ring-slot window start (monotone)
+        self._last_new_images = None
+        self._pool_add_jit = None
 
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -213,16 +235,99 @@ class Agent:
 
     def remember(self, *transition) -> None:
         tr = Transition(*transition)
+        imgs, nimgs = np.asarray(tr.images), np.asarray(tr.new_images)
         if self._windows_ok:
             # Consecutive-window detection: when every stored transition's s'
             # frame stack is s shifted by one tick (the closed-loop collection
-            # pattern), the fused trunk can segment the (T+1)-frame union once
-            # instead of both 4-stacks — see _learn_step's window path.
-            imgs, nimgs = np.asarray(tr.images), np.asarray(tr.new_images)
+            # pattern), the learn step can use the (T+1)-frame union — and the
+            # fused trunk segments it once — see _learn_step's window path.
             if imgs.ndim < 4 or imgs.shape != nimgs.shape \
                     or not np.array_equal(imgs[1:], nimgs[:-1]):
                 self._windows_ok = False
-        self.memory.push(*transition)
+                self._spill_pool_to_host()
+        if self._windows_ok and self._pool is None \
+                and self._pool_wanted(imgs):
+            self._init_pool(imgs)
+        if self._pool is not None:
+            if self._last_new_images is not None \
+                    and np.array_equal(imgs, self._last_new_images):
+                new_frames = nimgs[-1:]                 # episode continues
+                start = self._pool_w - imgs.shape[0]
+            else:
+                new_frames = np.concatenate([imgs, nimgs[-1:]], axis=0)
+                start = self._pool_w                    # episode (re)start
+            self._tr_start[self.memory.position] = start
+            for f in new_frames:
+                slot = self._pool_w % self._pool_F
+                self._pool = self._pool_add_jit(self._pool, jnp.asarray(f),
+                                                jnp.int32(slot))
+                self._pool_w += 1
+            self._last_new_images = nimgs.copy()
+            # frames live in the pool; store placeholder images host-side
+            ph = np.zeros((1,), np.uint8)
+            self.memory.push(*tr._replace(images=ph, new_images=ph))
+        else:
+            self.memory.push(*transition)
+
+    # -- device frame pool --------------------------------------------------------
+    def _pool_wanted(self, imgs: np.ndarray) -> bool:
+        if self._device_replay is False or self.mesh is not None \
+                or imgs.ndim < 4:
+            return False
+        if self._device_replay is True:
+            return True
+        # "auto": engage when the whole buffer's frames fit the budget
+        F = self.memory.capacity + 2 * _POOL_MARGIN
+        frame_bytes = int(np.prod(imgs.shape[1:]))
+        budget = float(os.environ.get("PMOE_DEVICE_REPLAY_BUDGET_MB", 2048))
+        return F * frame_bytes <= budget * 2 ** 20
+
+    def _init_pool(self, imgs: np.ndarray) -> None:
+        self._pool_F = self.memory.capacity + 2 * _POOL_MARGIN
+        self._pool = jnp.zeros((self._pool_F, *imgs.shape[1:]), jnp.uint8)
+        self._tr_start = np.full((self.memory.capacity,), -10 ** 9, np.int64)
+        self._pool_add_jit = jax.jit(
+            lambda pool, frame, slot: jax.lax.dynamic_update_slice(
+                pool, frame[None], (slot,) + (0,) * frame.ndim),
+            donate_argnums=(0,))
+
+    def _pool_valid_mask(self) -> np.ndarray:
+        """Ring entries whose window frames are still unoverwritten (with a
+        margin covering the staged batch's one-step gap)."""
+        horizon = self._pool_w - self._pool_F + _POOL_MARGIN
+        return self._tr_start >= max(horizon, 0)
+
+    def _spill_pool_to_host(self) -> None:
+        """Reconstruct host-side frame stacks from the pool (one-time D2H)
+        when a non-consecutive transition disables the window invariant."""
+        if self._pool is None:
+            return
+        pool = np.asarray(self._pool)
+        T = self._past_frames
+        old = self.memory
+        fresh = ReplayMemory(old.capacity, rng=old._rng)
+        if len(old) > 0:
+            valid = self._pool_valid_mask()[:len(old)]
+            # ring order: oldest first
+            if len(old) < old.capacity:
+                order = range(len(old))
+            else:
+                order = [(old.position + i) % old.capacity
+                         for i in range(old.capacity)]
+            for i in order:
+                if not valid[i]:
+                    continue                       # frames already overwritten
+                s = self._tr_start[i]
+                sl = (s + np.arange(T + 1)) % self._pool_F
+                win = pool[sl]
+                tr = Transition(**{k: v[i] for k, v in old._buffers.items()})
+                fresh.push(*tr._replace(images=win[:T], new_images=win[1:]))
+        self.memory = fresh
+        self._pool = None
+        self._pool_add_jit = None
+        self._tr_start = None
+        self._last_new_images = None
+        self._staged = None
 
     # -- learning -----------------------------------------------------------------
     def _forward_actor(self, params, batch_stats, images, speed, command, rng):
@@ -238,11 +343,21 @@ class Agent:
         reward = batch["reward"].reshape(-1, 1)
         done = batch["done"].reshape(-1, 1).astype(jnp.float32)
         n_speed, n_command = batch["new_speed"], batch["new_command"]
-        if "window" in batch:
+        window = None
+        if "frame_start" in batch:
+            # device-resident frame pool: gather each sample's (T+1)-frame
+            # window from the pool by start index — no frame bytes cross
+            # host->device for this batch at all
+            F = batch["frame_pool"].shape[0]
+            sl = (batch["frame_start"][:, None]
+                  + jnp.arange(self._past_frames + 1)[None, :]) % F
+            window = self._norm(batch["frame_pool"][sl])
+        elif "window" in batch:
             # consecutive transitions: s / s' are overlapping views of the
             # (B, T+1)-frame union (staged by _stage_batch); 37.5% less replay
             # H2D at T=4, and the trunk segments each unique frame once.
             window = self._norm(batch["window"])
+        if window is not None:
             images, n_images = window[:, :-1], window[:, 1:]
         else:
             images = self._norm(batch["images"])
@@ -262,7 +377,7 @@ class Agent:
             cmd2 = jnp.concatenate([command, n_command], axis=0)
             avars = {"params": state.actor_params,
                      "batch_stats": state.actor_batch_stats}
-            if "window" in batch:
+            if window is not None:
                 moe_b, punet_b = self.actor_model.apply(
                     avars, window, spd2, cmd2, False, method="trunk_pair",
                     rngs={"sample": k1})
@@ -340,13 +455,25 @@ class Agent:
     def _stage_batch(self):
         """Sample + start the async host->device upload of one replay batch.
 
-        When every stored transition is consecutive (s' = s shifted one tick)
-        and the fused trunk applies, s/s' frame stacks are uploaded as their
-        (B, T+1)-frame union — 5/8 of the frame bytes at T=4 — and the learn
-        step slices the two stacks back out on device."""
+        Three forms, best first:
+        * frame pool engaged — frames are already device-resident; only the
+          per-sample window START indices (B int32) cross host->device and
+          the learn step gathers the (B, T+1) windows from the pool;
+        * consecutive transitions, no pool — s/s' frame stacks are uploaded
+          as their (B, T+1)-frame union (5/8 of the frame bytes at T=4);
+        * general — both uint8 stacks, the reference-shaped upload."""
+        if self._pool is not None:
+            idx = self.memory.sample_indices(self.batch_size,
+                                             valid=self._pool_valid_mask())
+            batch = self.memory.sample_at(idx)._asdict()
+            batch.pop("images")
+            batch.pop("new_images")
+            batch["frame_start"] = (self._tr_start[idx] % self._pool_F
+                                    ).astype(np.int32)
+            return {k: jax.device_put(v) for k, v in batch.items()}
         tr: Transition = self.memory.sample(self.batch_size)
         batch = tr._asdict()
-        if self._fused_trunk and self._windows_ok:
+        if self._windows_ok:
             batch["window"] = np.concatenate(
                 [batch.pop("images"), batch.pop("new_images")[:, -1:]], axis=1)
         if self.mesh is not None:
@@ -364,6 +491,11 @@ class Agent:
             return None
         staged = self._staged if self._staged is not None else \
             self._stage_batch()
+        if "frame_start" in staged:
+            # attach the CURRENT pool version at call time (it is immutable
+            # and device-resident; the validity margin in _pool_valid_mask
+            # covers frames written between staging and this call)
+            staged = dict(staged, frame_pool=self._pool)
         self.state, metrics = self._learn_jit(self.state, staged,
                                               self._next_rng())
         self._staged = self._stage_batch()      # uploads while step runs

@@ -173,6 +173,7 @@ def test_ddpg_window_trunk_matches_stacked(tiny_moe_cfg):
     params = _tiny_ddpg_params(
         tiny_moe_cfg,
         {"type": "pmoe", "exclude_freeze": ["model_weights", "alpha"]})
+    params["device_replay"] = False     # the pool path has its own test below
     obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
     agent = Agent(params, obs)
     assert agent._fused_trunk
@@ -219,6 +220,82 @@ def test_ddpg_window_trunk_matches_stacked(tiny_moe_cfg):
         np.float32(0.0))
     assert not agent._windows_ok
     assert "window" not in agent._stage_batch()
+
+
+def test_device_frame_pool_matches_window_path(tiny_moe_cfg):
+    """Device-resident replay frame pool: one new frame crosses host->device
+    per remember, the learn step gathers windows from the pool by index, and
+    the update matches the host-window path to fp32 tolerance. A later
+    non-consecutive transition spills the pool back to host stacks."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmoe_tpu.models.rl_agent import Agent
+
+    params = _tiny_ddpg_params(
+        tiny_moe_cfg,
+        {"type": "pmoe", "exclude_freeze": ["model_weights", "alpha"]})
+    params["device_replay"] = True
+    obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
+    agent = Agent(params, obs)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (16 + 5, 32, 32, 3), dtype=np.uint8)
+    recs = []
+    for i in range(16):                      # one rolling episode
+        recs.append((frames[i:i + 4].copy(), frames[i + 1:i + 5].copy()))
+        agent.remember(
+            recs[-1][0], np.array([0.1], np.float32),
+            np.eye(4)[0].astype(np.float32),
+            np.array([0.0, 0.5], np.float32), np.float32(1.0),
+            recs[-1][1], np.array([0.1], np.float32),
+            np.eye(4)[0].astype(np.float32), np.float32(i == 15))
+    assert agent._pool is not None
+    # one frame per tick after the initial 5 = 16 + 4 uploads total
+    assert agent._pool_w == 16 + 4
+
+    staged = agent._stage_batch()
+    assert "frame_start" in staged and "images" not in staged
+    batch_pool = dict(staged, frame_pool=agent._pool)
+    # equivalent host-window batch for the same sampled entries
+    starts = np.asarray(staged["frame_start"])
+    pool_np = np.asarray(agent._pool)
+    win = np.stack([pool_np[(s + np.arange(5)) % agent._pool_F]
+                    for s in starts])
+    batch_win = {k: v for k, v in staged.items() if k != "frame_start"}
+    batch_win["window"] = jnp.asarray(win)
+
+    k = jax.random.PRNGKey(3)
+    state_p, metrics_p = agent._learn_step(agent.state, batch_pool, k)
+    state_w, metrics_w = agent._learn_step(agent.state, batch_win, k)
+    for lp, lw in zip(jax.tree_util.tree_leaves(state_p),
+                      jax.tree_util.tree_leaves(state_w)):
+        np.testing.assert_allclose(np.asarray(lp, np.float32),
+                                   np.asarray(lw, np.float32),
+                                   rtol=2e-4, atol=2e-6)
+
+    # learn() end-to-end through the pool
+    m = agent.learn()
+    assert np.isfinite(m["critic_loss"])
+
+    # a non-consecutive transition spills the pool into host frame stacks
+    agent.remember(
+        rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+        np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+        np.array([0.0, 0.5], np.float32), np.float32(1.0),
+        rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+        np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+        np.float32(0.0))
+    assert agent._pool is None and not agent._windows_ok
+    assert len(agent.memory) == 17
+    # the spilled stacks are the original frames (check one entry)
+    spilled = agent.memory._buffers["images"]
+    assert spilled.shape[1:] == (4, 32, 32, 3)
+    found = any(np.array_equal(spilled[j], recs[0][0])
+                for j in range(len(agent.memory)))
+    assert found
+    m = agent.learn()                        # host path still learns
+    assert np.isfinite(m["critic_loss"])
 
 
 def test_fuse_gate_rejects_trainable_trunk():
