@@ -190,6 +190,9 @@ class ImageAgent(AutonomousAgent):
             strip = np.concatenate(self.vizs[-16:], axis=1)
             self.logger.log_image(strip, name="eval_strip",
                                   step=self.num_frames)
+            # the comet video-asset analog (reference image_agent.py:90-99)
+            self.logger.log_video(self.vizs, name="eval",
+                                  step=self.num_frames)
             self.vizs.clear()
 
     def destroy(self) -> None:

@@ -100,6 +100,35 @@ class ExperimentLogger:
         suffix = f"-{step}" if step is not None else ""
         PILImage.fromarray(arr).save(imdir / f"{name}{suffix}.png")
 
+    def log_video(self, frames, name: str = "video",
+                  step: int | None = None, fps: int = 5) -> None:
+        """Write a frame sequence as an .avi (MJPG — codec-free) under
+        ``<dir>/videos/`` — the comet eval-video analog (reference
+        image_agent.py:90-99 logs a video asset every 1000 frames)."""
+        if self.disabled or not frames:
+            return
+        import cv2
+
+        vdir = self.dir / "videos"
+        vdir.mkdir(exist_ok=True)
+        suffix = f"-{step}" if step is not None else ""
+        clips = []
+        for f in frames:
+            arr = np.asarray(f)
+            if arr.dtype != np.uint8:
+                arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+            if arr.ndim == 3 and arr.shape[0] in (1, 3):
+                arr = arr.transpose(1, 2, 0)
+            clips.append(np.ascontiguousarray(arr[..., ::-1]))  # RGB->BGR
+        h, w = clips[0].shape[:2]
+        out = cv2.VideoWriter(str(vdir / f"{name}{suffix}.avi"),
+                              cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+        try:
+            for c in clips:
+                out.write(c)
+        finally:
+            out.release()
+
     def end(self) -> None:
         if self._metrics_f:
             self._metrics_f.close()

@@ -149,3 +149,25 @@ def test_step_timer_summary():
         t.stop(probe=jnp.ones(()))
     s = t.summary()
     assert s["steps"] == 3 and s["mean_ms"] >= 0.0
+
+
+def test_logger_media_outputs(tmp_path):
+    """log_image writes a PNG and log_video an MJPG .avi (the comet
+    image/video-asset analogs, reference image_agent.py:90-99)."""
+    import numpy as np
+
+    from pmoe_tpu.utils.logger import ExperimentLogger
+
+    lg = ExperimentLogger(log_dir=tmp_path, experiment_name="media")
+    lg.log_image(np.zeros((3, 16, 16), np.float32), name="strip", step=7)
+    frames = [np.full((24, 32, 3), i * 30, np.uint8) for i in range(6)]
+    lg.log_video(frames, name="eval", step=7)
+    lg.end()
+    imgs = list(tmp_path.rglob("images/strip-7.png"))
+    vids = list(tmp_path.rglob("videos/eval-7.avi"))
+    assert imgs and vids
+    assert vids[0].stat().st_size > 1000      # real encoded frames
+
+    lg2 = ExperimentLogger(log_dir=tmp_path, disabled=True)
+    lg2.log_video(frames, name="x")           # no-op when disabled
+    assert not list(tmp_path.rglob("videos/x.avi"))
