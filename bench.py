@@ -193,13 +193,13 @@ def _scan_flops_correction(batch: int, future_frames: int = 6,
         return 0.0
 
 
-def bench_stage2():
+def bench_stage2(batch: int = BATCH2):
     model = get_model(_moe_cfg(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    img_u8 = jnp.zeros((BATCH2, 4, 224, 224, 3), jnp.uint8)
-    spd = jnp.zeros((BATCH2, 1), jnp.float32)
-    cmd = jnp.zeros((BATCH2, COMMANDS), jnp.float32)
-    control = jnp.zeros((BATCH2, 2), jnp.float32)
+    img_u8 = jnp.zeros((batch, 4, 224, 224, 3), jnp.uint8)
+    spd = jnp.zeros((batch, 1), jnp.float32)
+    cmd = jnp.zeros((batch, COMMANDS), jnp.float32)
+    control = jnp.zeros((batch, 2), jnp.float32)
     variables = jit_init(model, {"params": rng},
                          img_u8[:2].astype(jnp.float32), spd[:2], cmd[:2])
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
@@ -209,7 +209,7 @@ def bench_stage2():
     def train_step(params, batch_stats, opt_state, img_u8, spd, cmd, control,
                    rng, it):
         x = img_u8.astype(jnp.float32) / 255.0
-        x = augment(rng, x, it * BATCH2, "super_hard", BATCH2)
+        x = augment(rng, x, it * batch, "super_hard", batch)
 
         def loss_fn(p):
             (dist, speeds), updates = model.apply(
@@ -281,6 +281,27 @@ def bench_inference_latency():
     return float(np.percentile(np.array(lat) * 1000.0, 50))
 
 
+def bench_engine_fps():
+    """Episode-engine throughput WITHOUT the device in the loop (scripted
+    agent): fake render + sensor hub + criteria + watchdog ticks/sec. Stable
+    under relay load — the device-including closed_loop_fps below inherits
+    the tunnel's multi-x latency swings."""
+    from pmoe_tpu.eval.criteria import CriteriaTree, RouteCompletionTest
+    from pmoe_tpu.eval.manager import run_episode
+    from pmoe_tpu.eval.scenario_cli import ScriptedFollowAgent
+    from pmoe_tpu.sim.fake_carla import FakeCarlaBackend
+
+    backend = FakeCarlaBackend(town="Town01")
+    route = backend.trace_route(0, 3)
+    frame = backend.reset(route)
+    agent = ScriptedFollowAgent(None)
+    agent.set_global_plan(route.gps_plan())
+    criteria = CriteriaTree([RouteCompletionTest(route)])
+    t0 = time.perf_counter()
+    result = run_episode(backend, agent, criteria, frame, max_ticks=200)
+    return result.ticks / (time.perf_counter() - t0)
+
+
 def bench_closed_loop_fps():
     """Whole NoCrash hot loop: fake backend render + sensor hub + ImageAgent
     (crop/resize, waypointer, jitted sample) — end-to-end ticks/sec."""
@@ -316,7 +337,10 @@ def main():
 
     s2_steps, s2_flops = bench_stage2()
     s2_mfu = (s2_flops * s2_steps / peak) if s2_flops > 0 else -1.0
+    s2b_steps, s2b_flops = bench_stage2(batch=128)   # tpu128 conf point
+    s2b_mfu = (s2b_flops * s2b_steps / peak) if s2b_flops > 0 else -1.0
     p50_ms = bench_inference_latency()
+    engine_fps = bench_engine_fps()
     loop_fps = bench_closed_loop_fps()
     s3_steps, s3_flops = bench_stage3()
     s3_mfu = (s3_flops * s3_steps / peak) if s3_flops > 0 else -1.0
@@ -331,9 +355,12 @@ def main():
             "stage3_tflops_per_step": round(s3_flops / 1e12, 3),
             "stage2_train_steps_per_sec": round(s2_steps, 3),
             "stage2_mfu": round(s2_mfu, 4),
+            "stage2_b128_steps_per_sec": round(s2b_steps, 3),
+            "stage2_b128_mfu": round(s2b_mfu, 4),
             "p50_inference_latency_ms": round(p50_ms, 3),
             "device_roundtrip_ms": round(rtt_ms, 3),
             "closed_loop_fps": round(loop_fps, 1),
+            "sim_engine_fps": round(engine_fps, 1),
             "batch_stage2": BATCH2, "batch_stage3": BATCH3,
             "device": str(jax.devices()[0]),
         },
