@@ -2,8 +2,12 @@
 
 The whole DDPG update — target-actor rollout, critic TD regression, actor
 ascent, soft target update — is ONE jitted function over device-resident
-parameters; the replay buffer stays in host RAM (numpy ring buffers) and each
-learn step does a single batched device_put.
+parameters. Replay scalars live in host numpy ring buffers; replay FRAMES
+live in a device-resident uint8 ring pool when they fit the HBM budget
+(``device_replay: auto``) — each transition uploads its one new frame and
+learn batches gather their (B, T+1)-frame windows on device by index. Buffers
+too large for the pool stream as host-built windows (or plain stacks when
+transitions are not consecutive).
 
 Reference bugs fixed (they make stage 3 un-runnable / wrong as shipped,
 SURVEY §2.1):
