@@ -91,11 +91,85 @@ def time_variant(name, model, B, *, steps=10, **kw):
     return dt
 
 
+def stage3_decomposition():
+    """Component timings of the stage-3 DDPG learn step (the round-4
+    analysis that exposed the replay-upload gap): trunk_pair at 2B, critic
+    fwd and TD fit, the soft-update tree op, and the FULL learn step through
+    ``agent.learn()`` (frame pool + donation engaged). Compare the sum of
+    parts against FULL — an unexplained gap is host<->device traffic or
+    dispatch, not compute."""
+    rtt = bench.measure_roundtrip_ms()
+    print(f"device rtt p50: {rtt:.1f} ms")
+    B = bench.BATCH3
+    agent = bench.Agent(
+        bench._stage3_cfg(4),
+        (jnp.zeros((2, 4, 224, 224, 3), jnp.float32),
+         jnp.zeros((2, 1), jnp.float32), jnp.zeros((2, 4), jnp.float32)),
+        rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (B + 6, 224, 224, 3), np.uint8)
+    for i in range(B + 1):
+        agent.remember(frames[i:i + 4], np.float32([1.0]),
+                       np.eye(4, dtype=np.float32)[0],
+                       np.float32([0.1, 0.5]), np.float32(1.0),
+                       frames[i + 1:i + 5], np.float32([1.1]),
+                       np.eye(4, dtype=np.float32)[0], np.float32(0.0))
+    batch = agent._stage_batch()
+    st = agent.state
+
+    def timeit(f, *a, n=3):
+        _ = f(*a)
+        fetch = lambda r: float(jnp.asarray(
+            jax.tree_util.tree_leaves(r)[0]).ravel()[0].astype(jnp.float32))
+        fetch(f(*a))
+        ts = []
+        for _i in range(n):
+            t0 = time.perf_counter()
+            fetch(f(*a))
+            ts.append(time.perf_counter() - t0)
+        return min(ts) * 1e3
+
+    pool = agent._pool
+    F = agent._pool_F
+    sl = (np.asarray(batch["frame_start"])[:, None] + np.arange(5)[None]) % F
+    window = jnp.asarray(np.asarray(pool)[sl]).astype(jnp.float32) / 255.0
+    spd2 = jnp.concatenate([batch["speed"], batch["new_speed"]], 0)
+    cmd2 = jnp.concatenate([batch["command"], batch["new_command"]], 0)
+
+    trunk = jax.jit(lambda ap, bs, w, s, c, k: agent.actor_model.apply(
+        {"params": ap, "batch_stats": bs}, w, s, c, False,
+        method="trunk_pair", rngs={"sample": k}))
+    print(f"trunk_pair(2B)     {timeit(trunk, st.actor_params, st.actor_batch_stats, window, spd2, cmd2, jax.random.PRNGKey(1)):7.0f} ms")
+
+    imgs = window[:, :4]
+    cfwd = jax.jit(lambda cp, bs, i, s, c, a: agent.critic_model.apply(
+        {"params": cp, "batch_stats": bs}, i, s, c, a, False))
+    print(f"critic fwd         {timeit(cfwd, st.critic_params, st.critic_batch_stats, imgs, batch['speed'], batch['command'], batch['action']):7.0f} ms")
+
+    soft = jax.jit(lambda t, s: jax.tree_util.tree_map(
+        lambda a, b: a + 0.001 * (b - a), t, s))
+    print(f"soft-update tree   {timeit(soft, st.target_actor_params, st.actor_params):7.0f} ms")
+
+    agent.learn()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        agent.learn()
+        ts.append(time.perf_counter() - t0)
+    print(f"FULL learn step    {min(ts) * 1e3:7.0f} ms "
+          f"({1.0 / min(ts):.3f} steps/s)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--stage3", action="store_true",
+                    help="decompose the stage-3 DDPG learn step instead")
     args = ap.parse_args()
     bench.health_check()
+    if args.stage3:
+        stage3_decomposition()
+        return
     B = args.batch
     cfg = bench._moe_cfg()
     model = get_model(cfg, dtype=jnp.bfloat16)
