@@ -298,6 +298,55 @@ def test_device_frame_pool_matches_window_path(tiny_moe_cfg):
     assert np.isfinite(m["critic_loss"])
 
 
+def test_nonfused_actor_window_path_matches_stacked(tiny_moe_cfg):
+    """A plain moe actor (no trunk fusion) with consecutive transitions also
+    takes the window/pool staging; the non-fused learn branch slices s/s'
+    out of the window and must match the explicit-stacks batch exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmoe_tpu.models.rl_agent import Agent
+
+    params = _tiny_ddpg_params(tiny_moe_cfg, {"exclude_freeze": ["alpha"]})
+    params["device_replay"] = True
+    obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
+    agent = Agent(params, obs)
+    assert not agent._fused_trunk
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (16 + 5, 32, 32, 3), dtype=np.uint8)
+    for i in range(12):
+        agent.remember(
+            frames[i:i + 4], np.array([0.1], np.float32),
+            np.eye(4)[0].astype(np.float32),
+            np.array([0.0, 0.5], np.float32), np.float32(1.0),
+            frames[i + 1:i + 5], np.array([0.1], np.float32),
+            np.eye(4)[0].astype(np.float32), np.float32(0.0))
+    assert agent._pool is not None
+    staged = agent._stage_batch()
+    assert "frame_start" in staged
+
+    batch_pool = dict(staged, frame_pool=agent._pool)
+    starts = np.asarray(staged["frame_start"])
+    pool_np = np.asarray(agent._pool)
+    win = np.stack([pool_np[(s + np.arange(5)) % agent._pool_F]
+                    for s in starts])
+    batch_plain = {k: v for k, v in staged.items() if k != "frame_start"}
+    batch_plain["images"] = jnp.asarray(win[:, :4])
+    batch_plain["new_images"] = jnp.asarray(win[:, 1:])
+
+    k = jax.random.PRNGKey(9)
+    state_p, _ = agent._learn_step(agent.state, batch_pool, k)
+    state_s, _ = agent._learn_step(agent.state, batch_plain, k)
+    for lp, ls in zip(jax.tree_util.tree_leaves(state_p),
+                      jax.tree_util.tree_leaves(state_s)):
+        np.testing.assert_allclose(np.asarray(lp, np.float32),
+                                   np.asarray(ls, np.float32),
+                                   rtol=2e-4, atol=2e-6)
+    m = agent.learn()
+    assert np.isfinite(m["critic_loss"])
+
+
 def test_fuse_gate_rejects_trainable_trunk():
     """Unfreezing real trunk weights (not alpha) must disable the fusion;
     non-pmoe actors never fuse (no full Agent init needed — the gate only
