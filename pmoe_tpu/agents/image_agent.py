@@ -14,6 +14,16 @@ DEVICE-RESIDENT ring buffer — each 20 Hz tick uploads ONE 224x224 uint8 frame
 (150 KB instead of 2.4 MB of float32 4-frame stacks), and normalize + roll +
 model.sample run inside a single jitted function with static shapes (no
 recompiles in the sync loop).
+
+One-tick-latency pipeline (default on, ``pipeline: false`` to disable): the
+tick-t ``sample`` is DISPATCHED asynchronously and the action applied at tick
+t is the one computed from tick t-1's frame, whose device->host copy was
+started at dispatch and overlapped the intervening simulator step. The
+synchronous form pays (dispatch + compute + fetch) round-trip latency inside
+every tick; the pipelined form pays only host-side dispatch overhead, so the
+loop holds the 20 Hz budget even when the device round-trip alone exceeds it
+(standard real-time-control practice; the reference's synchronous
+image_agent.py:127-177 inherits torch's eager blocking semantics instead).
 """
 
 from __future__ import annotations
@@ -92,6 +102,11 @@ class ImageAgent(AutonomousAgent):
         # device-resident ring buffer of normalized frames (1, T, H, W, 3)
         self._frames = jnp.zeros((1, self.n_frames, 224, 224, 3), jnp.float32)
         self._rng = jax.random.PRNGKey(2021)
+        # one-tick-latency pipeline: the action applied at tick t was computed
+        # from tick t-1's frame (see module docstring). The first tick blocks
+        # (no previous action exists), so tick 0 matches the synchronous form.
+        self._pipeline = bool(self.config.get("pipeline", True))
+        self._pending_action = None
 
         if cached:
             self._jit_step = cached[1]
@@ -166,10 +181,19 @@ class ImageAgent(AutonomousAgent):
         command[0, cmd_value] = 1.0
 
         self._rng, k = jax.random.split(self._rng)
-        self._frames, action = self._jit_step(
+        self._frames, action_dev = self._jit_step(
             self._variables, self._frames, jnp.asarray(rgb224),
             jnp.asarray(speed), jnp.asarray(command), k)
-        action = np.asarray(action)
+        if self._pipeline:
+            # start the D2H copy now so it overlaps the coming sim tick, and
+            # apply the PREVIOUS tick's (already-arrived) action this tick
+            if hasattr(action_dev, "copy_to_host_async"):
+                action_dev.copy_to_host_async()
+            prev = self._pending_action
+            self._pending_action = action_dev
+            action = np.asarray(action_dev if prev is None else prev)
+        else:
+            action = np.asarray(action_dev)
         self.num_frames += 1
 
         # eval media: annotated frames every ~25 ticks, flushed as a strip
@@ -198,4 +222,5 @@ class ImageAgent(AutonomousAgent):
     def destroy(self) -> None:
         self.flush_vizs()
         self.waypointer = None
+        self._pending_action = None
         self.vizs.clear()

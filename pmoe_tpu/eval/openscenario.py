@@ -285,8 +285,12 @@ class OpenScenario(BasicScenario):
                 return TriggerOnDistance(pos, tol)
             raise UnsupportedOpenScenarioFeature(
                 "ReachPositionCondition on scripted entities")
-        rd = cond.find(".//RelativeDistanceCondition") \
-            or cond.find(".//DistanceCondition")
+        # NB: explicit None checks — ElementTree elements are falsy when they
+        # have no children, so `find(...) or find(...)` silently drops the
+        # normal attribute-only <RelativeDistanceCondition .../> form.
+        rd = cond.find(".//RelativeDistanceCondition")
+        if rd is None:
+            rd = cond.find(".//DistanceCondition")
         if rd is not None:
             value = float(_attr(rd, "value", params, "10"))
             other = _attr(rd, "entityRef", params) or \

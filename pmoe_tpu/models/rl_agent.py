@@ -39,9 +39,11 @@ from .replay import ReplayMemory, Transition
 
 __all__ = ["Critic", "Agent", "DDPGState"]
 
-#: slack between the frame pool and the replay ring: entries whose window
-#: start is within this many frames of being overwritten are excluded from
-#: sampling (covers the one-step staging gap of the double-buffered batch)
+#: minimum slack between the frame pool and the replay ring: entries whose
+#: window start is within this many frames of being overwritten are excluded
+#: from sampling (covers the one-step staging gap of the double-buffered
+#: batch). The effective margin scales with past_frames — see Agent._init_pool
+#: — and staged indices are re-validated against the pool at learn() time.
 _POOL_MARGIN = 8
 
 
@@ -183,7 +185,14 @@ class Agent:
         self._pool_w = 0                    # monotone frame-write counter
         self._tr_start = None               # per-ring-slot window start (monotone)
         self._last_new_images = None
+        self._last_done = True              # previous transition ended episode?
         self._pool_add_jit = None
+        # Margin scales with the frames a single remember() can write
+        # (episode restart writes past_frames+1 at once; two restarts between
+        # learns write 2*(T+1)) so a wrapped pool never serves overwritten
+        # frames as window data.
+        self._pool_margin = max(2 * (self._past_frames + 1), _POOL_MARGIN)
+        self._staged_idx = None             # ring indices of the staged batch
 
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -253,7 +262,13 @@ class Agent:
                 and self._pool_wanted(imgs):
             self._init_pool(imgs)
         if self._pool is not None:
-            if self._last_new_images is not None \
+            # Episode continuation is signalled by the PREVIOUS transition's
+            # done flag, not by frame equality alone: a deterministic reset
+            # whose first stack equals the last s' stack must still start a
+            # fresh window (otherwise it would point at the previous
+            # episode's tail). The equality check remains as the guard for
+            # non-terminal discontinuities (e.g. externally injected stacks).
+            if not self._last_done and self._last_new_images is not None \
                     and np.array_equal(imgs, self._last_new_images):
                 new_frames = nimgs[-1:]                 # episode continues
                 start = self._pool_w - imgs.shape[0]
@@ -267,6 +282,7 @@ class Agent:
                                                 jnp.int32(slot))
                 self._pool_w += 1
             self._last_new_images = nimgs.copy()
+            self._last_done = bool(np.asarray(tr.done).reshape(-1)[0])
             # frames live in the pool; store placeholder images host-side
             ph = np.zeros((1,), np.uint8)
             self.memory.push(*tr._replace(images=ph, new_images=ph))
@@ -281,13 +297,13 @@ class Agent:
         if self._device_replay is True:
             return True
         # "auto": engage when the whole buffer's frames fit the budget
-        F = self.memory.capacity + 2 * _POOL_MARGIN
+        F = self.memory.capacity + 2 * self._pool_margin
         frame_bytes = int(np.prod(imgs.shape[1:]))
         budget = float(os.environ.get("PMOE_DEVICE_REPLAY_BUDGET_MB", 2048))
         return F * frame_bytes <= budget * 2 ** 20
 
     def _init_pool(self, imgs: np.ndarray) -> None:
-        self._pool_F = self.memory.capacity + 2 * _POOL_MARGIN
+        self._pool_F = self.memory.capacity + 2 * self._pool_margin
         self._pool = jnp.zeros((self._pool_F, *imgs.shape[1:]), jnp.uint8)
         self._tr_start = np.full((self.memory.capacity,), -10 ** 9, np.int64)
         self._pool_add_jit = jax.jit(
@@ -298,7 +314,7 @@ class Agent:
     def _pool_valid_mask(self) -> np.ndarray:
         """Ring entries whose window frames are still unoverwritten (with a
         margin covering the staged batch's one-step gap)."""
-        horizon = self._pool_w - self._pool_F + _POOL_MARGIN
+        horizon = self._pool_w - self._pool_F + self._pool_margin
         return self._tr_start >= max(horizon, 0)
 
     def _spill_pool_to_host(self) -> None:
@@ -332,6 +348,7 @@ class Agent:
         self._tr_start = None
         self._last_new_images = None
         self._staged = None
+        self._staged_idx = None
 
     # -- learning -----------------------------------------------------------------
     def _forward_actor(self, params, batch_stats, images, speed, command, rng):
@@ -474,7 +491,9 @@ class Agent:
             batch.pop("new_images")
             batch["frame_start"] = (self._tr_start[idx] % self._pool_F
                                     ).astype(np.int32)
+            self._staged_idx = idx
             return {k: jax.device_put(v) for k, v in batch.items()}
+        self._staged_idx = None
         tr: Transition = self.memory.sample(self.batch_size)
         batch = tr._asdict()
         if self._windows_ok:
@@ -495,6 +514,12 @@ class Agent:
             return None
         staged = self._staged if self._staged is not None else \
             self._stage_batch()
+        if "frame_start" in staged and self._staged_idx is not None \
+                and not self._pool_valid_mask()[self._staged_idx].all():
+            # Frames written between staging and now overwrote part of a
+            # staged window (possible when remember() runs more than
+            # pool_margin times per learn()); resample a fresh batch.
+            staged = self._stage_batch()
         if "frame_start" in staged:
             # attach the CURRENT pool version at call time (it is immutable
             # and device-resident; the validity margin in _pool_valid_mask

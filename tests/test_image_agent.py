@@ -1,0 +1,66 @@
+"""Closed-loop ImageAgent tests: the one-tick-latency action pipeline.
+
+The NoCrash hot loop (reference leaderboard/scenarios/scenario_manager.py:138-181)
+runs agent -> apply_control -> world.tick at 20 Hz. The pipelined agent
+dispatches tick t's jitted ``sample`` asynchronously and applies the action
+computed from tick t-1's frame, so the device round-trip overlaps the sim
+tick instead of landing inside it. These tests pin the alignment contract:
+exactly one tick of latency, never more, no skew over the episode.
+"""
+
+import numpy as np
+
+from pmoe_tpu.agents.image_agent import ImageAgent
+from pmoe_tpu.utils.config import Config
+
+
+def _mk_agent(tiny_moe_cfg, pipeline: bool) -> ImageAgent:
+    cfg = Config({
+        "pipeline": pipeline,
+        "logger": {"disabled": True},
+        "model": {"actor": dict(tiny_moe_cfg, n_commands=4, model_dir="")},
+    })
+    agent = ImageAgent(cfg)
+    plan = [({"lat": 0.0, "lon": 0.0}, 4), ({"lat": 1e-4, "lon": 0.0}, 4)]
+    agent.set_global_plan(plan)
+    return agent
+
+
+def _inputs(i: int) -> dict:
+    rng = np.random.default_rng(i)
+    frame = rng.integers(0, 255, (600, 800, 3), np.uint8)
+    return {
+        "Narrow_RGB": (i, frame),
+        "EGO": (i, {"spd": 3.0 + 0.1 * i}),
+        "GPS": (i, np.array([0.0, 0.0, 0.0])),
+    }
+
+
+def test_pipeline_applies_previous_ticks_action(tiny_moe_cfg):
+    sync_agent = _mk_agent(tiny_moe_cfg, pipeline=False)
+    pipe_agent = _mk_agent(tiny_moe_cfg, pipeline=True)
+    n = 6
+    sync, pipe = [], []
+    for t in range(n):
+        data = _inputs(t)
+        sync.append(sync_agent.run_step(data, t * 0.05))
+        pipe.append(pipe_agent.run_step(data, t * 0.05))
+    as_tuple = lambda c: (c.steer, c.throttle, c.brake)
+    # tick 0 has no previous action: identical to the synchronous agent
+    assert as_tuple(pipe[0]) == as_tuple(sync[0])
+    # tick t >= 1 applies the action computed from tick t-1's inputs —
+    # exactly one tick of latency, for every tick of the episode
+    for t in range(1, n):
+        assert as_tuple(pipe[t]) == as_tuple(sync[t - 1]), f"tick {t}"
+    sync_agent.destroy()
+    pipe_agent.destroy()
+
+
+def test_pipeline_default_on_and_config_off(tiny_moe_cfg):
+    assert _mk_agent(tiny_moe_cfg, True)._pipeline is True
+    cfg = Config({
+        "logger": {"disabled": True},
+        "model": {"actor": dict(tiny_moe_cfg, n_commands=4, model_dir="")},
+    })
+    assert ImageAgent(cfg)._pipeline is True          # default: pipelined
+    assert _mk_agent(tiny_moe_cfg, False)._pipeline is False

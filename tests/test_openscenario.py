@@ -10,6 +10,7 @@ from pmoe_tpu.eval.openscenario import (OpenScenario,
                                         load_xosc)
 from pmoe_tpu.eval.scenario_cli import ScriptedFollowAgent, run_scenario
 from pmoe_tpu.sim.fake_carla import FakeCarlaBackend
+from pmoe_tpu.sim.interface import VehicleControl
 
 XOSC = "pmoe_tpu/assets/openscenario/lead_slowdown.xosc"
 
@@ -45,6 +46,34 @@ def test_executes_story_and_moves_the_adversary():
     # final SpeedAction stopped it again
     assert float(np.linalg.norm(lead.position(backend.t) - [10.0, 42.0])) > 5.0
     assert lead.speed == 0.0
+    backend.close()
+
+
+def test_distance_condition_gates_event():
+    """The attribute-only <RelativeDistanceCondition .../> must gate the lead's
+    SpeedAction: while the ego idles 40 m away (trigger is 25 m) the lead may
+    not move; once the ego teleports within range, the event fires.
+
+    Regression: ElementTree's falsy childless elements made
+    ``find(A) or find(B)`` drop the condition, so the action fired at t=0."""
+    backend = FakeCarlaBackend(render=False)
+    route = backend.trace_route(0, 3)
+    backend.reset(route)
+    sc = OpenScenario(backend, route, config=load_xosc(XOSC))
+    idle = VehicleControl(steer=0.0, throttle=0.0, brake=1.0)
+    for _ in range(20):
+        frame = backend.tick(idle)
+        sc.tick(frame)
+    assert len(backend._npcs) == 1
+    lead = backend._npcs[0]
+    assert lead.speed == 0.0                      # gate held: lead not driving
+    assert np.allclose(lead.position(backend.t), [10.0, 42.0], atol=1e-6)
+    # teleport the ego within the 25 m trigger radius and tick again
+    backend._ego.x, backend._ego.y = 10.0, 30.0
+    for _ in range(3):
+        frame = backend.tick(idle)
+        sc.tick(frame)
+    assert lead.speed == 7.0                      # SpeedAction fired
     backend.close()
 
 
