@@ -2,7 +2,9 @@ from .criteria import (Criterion, CollisionTest, RouteCompletionTest,
                        RunningRedLightTest, RunningStopTest,
                        OutsideRouteLanesTest, InRouteTest, BlockedTest,
                        TimeoutTest, MaxVelocityTest, DrivenDistanceTest,
-                       CriteriaTree)
+                       AverageVelocityTest, KeepLaneTest, ReachedRegionTest,
+                       OffRoadTest, EndofRoadTest, OnSidewalkTest,
+                       WrongLaneTest, InRadiusRegionTest, CriteriaTree)
 from .statistics import (NoCrashStatisticsManager, StatisticsManager,
                          RouteRecord, PENALTY_VALUES)
 from .manager import run_episode, EpisodeResult
@@ -26,7 +28,9 @@ __all__ = [
     "Criterion", "CollisionTest", "RouteCompletionTest", "RunningRedLightTest",
     "InRouteTest", "BlockedTest", "TimeoutTest", "CriteriaTree",
     "RunningStopTest", "OutsideRouteLanesTest", "MaxVelocityTest",
-    "DrivenDistanceTest",
+    "DrivenDistanceTest", "AverageVelocityTest", "KeepLaneTest",
+    "ReachedRegionTest", "OffRoadTest", "EndofRoadTest", "OnSidewalkTest",
+    "WrongLaneTest", "InRadiusRegionTest",
     "NoCrashStatisticsManager", "StatisticsManager", "RouteRecord",
     "PENALTY_VALUES", "NoCrashEvaluator", "WEATHERS", "TRAFFIC_TABLES",
     "LeaderboardEvaluator", "RouteIndexer", "RouteConfig", "view_results",

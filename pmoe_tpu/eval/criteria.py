@@ -28,20 +28,31 @@ from ..sim.interface import CollisionEvent, EgoState, Route, SIM_DT
 __all__ = ["Criterion", "CollisionTest", "RouteCompletionTest",
            "RunningRedLightTest", "RunningStopTest", "OutsideRouteLanesTest",
            "InRouteTest", "BlockedTest", "TimeoutTest", "MaxVelocityTest",
-           "DrivenDistanceTest", "CriteriaTree"]
+           "DrivenDistanceTest", "AverageVelocityTest", "KeepLaneTest",
+           "ReachedRegionTest", "OffRoadTest", "EndofRoadTest",
+           "OnSidewalkTest", "WrongLaneTest", "InRadiusRegionTest",
+           "CriteriaTree"]
 
 
 class Criterion:
     name = "criterion"
 
-    def __init__(self, terminate_on_failure: bool = False):
+    def __init__(self, terminate_on_failure: bool = False,
+                 optional: bool = False):
         self.test_status = "RUNNING"
         self.actual_value = 0
         self.terminate_on_failure = terminate_on_failure
+        #: srunner ``optional`` flag: recorded but excluded from pass/fail
+        self.optional = optional
         self.events: List[dict] = []
 
     def update(self, ego: EgoState, frame) -> None:
         raise NotImplementedError
+
+    def finalize(self) -> None:
+        """Episode-end hook (srunner Criterion.terminate): criteria whose
+        success must be *achieved* (velocity/region targets) flip a still-
+        RUNNING status to FAILURE here."""
 
     @property
     def failed(self) -> bool:
@@ -153,9 +164,8 @@ class MaxVelocityTest(Criterion):
     name = "MaxVelocityTest"
 
     def __init__(self, max_velocity: float, optional: bool = False, **kw):
-        super().__init__(**kw)
+        super().__init__(optional=optional, **kw)
         self.max_velocity = max_velocity
-        self.optional = optional
 
     def update(self, ego: EgoState, frame) -> None:
         self.actual_value = max(self.actual_value, float(ego.speed))
@@ -252,6 +262,241 @@ class TimeoutTest(Criterion):
             self.events.append({"type": "timeout", "frame": frame.frame})
 
 
+class AverageVelocityTest(Criterion):
+    """Average-velocity target (srunner atomic_criteria.py:202): SUCCESS once
+    distance/elapsed exceeds ``avg_velocity_success`` (ACCEPTABLE above the
+    secondary threshold); still-RUNNING flips to FAILURE at episode end
+    (reference ``terminate``)."""
+
+    name = "AverageVelocityTest"
+
+    def __init__(self, avg_velocity_success: float,
+                 avg_velocity_acceptable: Optional[float] = None,
+                 optional: bool = False, **kw):
+        super().__init__(optional=optional, **kw)
+        self.avg_velocity_success = avg_velocity_success
+        self.avg_velocity_acceptable = avg_velocity_acceptable
+        self._distance = 0.0
+        self._elapsed = 0.0
+        self.actual_value = 0.0
+
+    def update(self, ego: EgoState, frame) -> None:
+        self._distance += float(ego.speed) * SIM_DT
+        self._elapsed += SIM_DT
+        if self._elapsed > 0.0:
+            self.actual_value = round(self._distance / self._elapsed, 3)
+        if self.actual_value > self.avg_velocity_success:
+            self.test_status = "SUCCESS"
+        elif (self.avg_velocity_acceptable is not None
+                and self.actual_value > self.avg_velocity_acceptable):
+            self.test_status = "ACCEPTABLE"
+        else:
+            self.test_status = "RUNNING"
+
+    def finalize(self) -> None:
+        if self.test_status == "RUNNING":
+            self.test_status = "FAILURE"
+
+
+class KeepLaneTest(Criterion):
+    """Lane-keeping (srunner atomic_criteria.py:513): upstream counts
+    lane-invasion sensor events; here an invasion is the edge transition onto
+    a lane-marking crossing reported by ``backend.off_lane``. Any invasion is
+    FAILURE."""
+
+    name = "KeepLaneTest"
+
+    def __init__(self, backend, optional: bool = False, **kw):
+        super().__init__(optional=optional, **kw)
+        self._backend = backend
+        self._was_off = False
+        self.test_status = "SUCCESS"
+
+    def update(self, ego: EgoState, frame) -> None:
+        off = bool(getattr(self._backend, "off_lane", lambda: False)())
+        if off and not self._was_off:
+            self.actual_value += 1
+            self.events.append({"type": "lane_invasion", "frame": frame.frame})
+        self._was_off = off
+        self.test_status = "FAILURE" if self.actual_value > 0 else "SUCCESS"
+
+
+class ReachedRegionTest(Criterion):
+    """Axis-aligned region goal (srunner atomic_criteria.py:573): SUCCESS
+    latched once the ego enters [min_x,max_x] x [min_y,max_y]; an episode
+    ending outside is a FAILURE."""
+
+    name = "ReachedRegionTest"
+
+    def __init__(self, min_x: float, max_x: float, min_y: float, max_y: float,
+                 **kw):
+        super().__init__(**kw)
+        self.bounds = (min_x, max_x, min_y, max_y)
+
+    def update(self, ego: EgoState, frame) -> None:
+        if self.test_status == "SUCCESS":
+            return
+        min_x, max_x, min_y, max_y = self.bounds
+        if min_x < ego.x < max_x and min_y < ego.y < max_y:
+            self.test_status = "SUCCESS"
+
+    def finalize(self) -> None:
+        if self.test_status == "RUNNING":
+            self.test_status = "FAILURE"
+
+
+class InRadiusRegionTest(Criterion):
+    """Radial region goal (srunner atomic_criteria.py:1408): SUCCESS latched
+    when within ``radius`` of (x, y)."""
+
+    name = "InRadiusRegionTest"
+
+    def __init__(self, x: float, y: float, radius: float, **kw):
+        super().__init__(**kw)
+        self.center = (x, y)
+        self.radius = radius
+
+    def update(self, ego: EgoState, frame) -> None:
+        if self.test_status == "SUCCESS":
+            return
+        if np.hypot(ego.x - self.center[0], ego.y - self.center[1]) \
+                < self.radius:
+            self.test_status = "SUCCESS"
+            self.events.append({"type": "route_completed",
+                                "frame": frame.frame})
+
+    def finalize(self) -> None:
+        if self.test_status == "RUNNING":
+            self.test_status = "FAILURE"
+
+
+class OffRoadTest(Criterion):
+    """Time spent fully off the road network (srunner atomic_criteria.py:624):
+    FAILURE once cumulative off-road time exceeds ``duration`` seconds
+    (``backend.off_road`` is the map.get_waypoint(project_to_road=False)
+    analog — no lane of any type under the actor)."""
+
+    name = "OffRoadTest"
+
+    def __init__(self, backend, duration: float = 0.0, optional: bool = False,
+                 **kw):
+        super().__init__(optional=optional, **kw)
+        self._backend = backend
+        self.duration = duration
+        self._time_offroad = 0.0
+
+    def update(self, ego: EgoState, frame) -> None:
+        if bool(getattr(self._backend, "off_road", lambda: False)()):
+            self._time_offroad += SIM_DT
+        if self._time_offroad > self.duration:
+            if self.test_status != "FAILURE":
+                self.events.append({"type": "off_road", "frame": frame.frame})
+            self.test_status = "FAILURE"
+
+
+class EndofRoadTest(Criterion):
+    """Road-change detector (srunner atomic_criteria.py:705): once the ego's
+    road id differs from the initial one, a timer starts; after ``duration``
+    seconds the criterion fails and counts the event."""
+
+    name = "EndofRoadTest"
+
+    def __init__(self, backend, duration: float = 0.0, optional: bool = False,
+                 **kw):
+        super().__init__(optional=optional, **kw)
+        self._backend = backend
+        self.duration = duration
+        self._road_id: Optional[int] = None
+        self._time_since_change: Optional[float] = None
+
+    def update(self, ego: EgoState, frame) -> None:
+        road = getattr(self._backend, "road_id", lambda: None)()
+        if self._road_id is None:
+            self._road_id = road
+            return
+        if self._time_since_change is None and road != self._road_id:
+            self._time_since_change = 0.0
+            return
+        if self._time_since_change is not None:
+            self._time_since_change += SIM_DT
+            if self._time_since_change > self.duration \
+                    and self.test_status != "FAILURE":
+                self.test_status = "FAILURE"
+                self.actual_value += 1
+                self.events.append({"type": "end_of_road",
+                                    "frame": frame.frame})
+
+
+class OnSidewalkTest(Criterion):
+    """Sidewalk invasion accounting (srunner atomic_criteria.py:774,
+    point-ego simplification of the four-corner bbox test): accumulates the
+    distance driven on the sidewalk band and the time spent outside driving
+    lanes; FAILURE once that time exceeds ``duration`` seconds."""
+
+    name = "OnSidewalkTest"
+
+    def __init__(self, backend, duration: float = 0.0, optional: bool = False,
+                 **kw):
+        super().__init__(optional=optional, **kw)
+        self._backend = backend
+        self.duration = duration
+        self._time_outside = 0.0
+        self._sidewalk_distance = 0.0
+
+    def update(self, ego: EgoState, frame) -> None:
+        on_walk = bool(getattr(self._backend, "on_sidewalk", lambda: False)())
+        off_road = bool(getattr(self._backend, "off_road", lambda: False)())
+        if on_walk or off_road:
+            self._time_outside += SIM_DT
+            if on_walk:
+                self._sidewalk_distance += float(ego.speed) * SIM_DT
+        if self._time_outside > self.duration:
+            if self.test_status != "FAILURE":
+                self.events.append({"type": "on_sidewalk",
+                                    "frame": frame.frame})
+            self.test_status = "FAILURE"
+        self.actual_value = round(self._sidewalk_distance, 2)
+
+
+class WrongLaneTest(Criterion):
+    """Wrong-direction driving (srunner atomic_criteria.py:1234): FAILURE
+    (counted per entry) while the angle between the ego heading and the
+    right-hand-traffic lane direction exceeds MAX_ALLOWED_ANGLE and the ego
+    is on a road; accumulates the distance driven against traffic."""
+
+    name = "WrongLaneTest"
+    MAX_ALLOWED_ANGLE = 120.0
+
+    def __init__(self, backend, optional: bool = False, **kw):
+        super().__init__(optional=optional, **kw)
+        self._backend = backend
+        self._in_wrong_lane = False
+        self._wrong_distance = 0.0
+
+    def update(self, ego: EgoState, frame) -> None:
+        lane_dir = getattr(self._backend, "lane_direction", lambda: None)()
+        off_lane = bool(getattr(self._backend, "off_lane", lambda: False)())
+        if lane_dir is None or off_lane:
+            self._in_wrong_lane = False
+            return
+        heading = np.array([np.cos(ego.yaw), np.sin(ego.yaw)])
+        cosang = float(np.clip(np.dot(heading, np.asarray(lane_dir)), -1, 1))
+        wrong = np.degrees(np.arccos(cosang)) > self.MAX_ALLOWED_ANGLE
+        if wrong and not self._in_wrong_lane:
+            self.actual_value += 1
+            self.test_status = "FAILURE"
+            self.events.append({"type": "wrong_lane", "frame": frame.frame})
+        if wrong:
+            self._wrong_distance += float(ego.speed) * SIM_DT
+        self._in_wrong_lane = wrong
+
+    def summary_events(self):
+        if self._wrong_distance > 0.0:
+            return [{"type": "wrong_lane_meters",
+                     "meters": round(self._wrong_distance, 2)}]
+        return []
+
+
 class CriteriaTree:
     """The per-episode criteria bundle (BasicScenario's criteria tree)."""
 
@@ -261,6 +506,11 @@ class CriteriaTree:
     def update(self, ego: EgoState, frame) -> None:
         for c in self.criteria:
             c.update(ego, frame)
+
+    def finalize(self) -> None:
+        """Episode-end pass (srunner terminate): settle achieved-goal criteria."""
+        for c in self.criteria:
+            c.finalize()
 
     @property
     def should_terminate(self) -> bool:

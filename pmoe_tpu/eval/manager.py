@@ -108,6 +108,7 @@ def run_episode(backend: DrivingBackend, agent, criteria: CriteriaTree,
         watchdog.stop()
         if sensor_hub is None:              # we own the hub's reader threads
             hub.stop()
+    criteria.finalize()                     # settle achieved-goal criteria
     if recorder is not None:
         recorder.record_criteria(criteria)
     return result

@@ -43,9 +43,12 @@ from .behaviors import (BasicScenario, Behavior, DriveDistance, Parallel,
                         Sequence, SetNPCPath, SetNPCSpeed, SpawnNPC, Status,
                         TriggerOnDistance, TriggerOnVehicleDistance,
                         WaitForSeconds)
-from .criteria import (BlockedTest, CollisionTest, InRouteTest,
-                       RouteCompletionTest, RunningRedLightTest,
-                       RunningStopTest, TimeoutTest)
+from .criteria import (AverageVelocityTest, BlockedTest, CollisionTest,
+                       EndofRoadTest, InRadiusRegionTest, InRouteTest,
+                       KeepLaneTest, OffRoadTest, OnSidewalkTest,
+                       ReachedRegionTest, RouteCompletionTest,
+                       RunningRedLightTest, RunningStopTest, TimeoutTest,
+                       WrongLaneTest)
 
 __all__ = ["OpenScenarioConfiguration", "OpenScenario", "load_xosc",
            "UnsupportedOpenScenarioFeature"]
@@ -380,7 +383,10 @@ class OpenScenario(BasicScenario):
         return Sequence(spawn_all + [body], name=self.config.name)
 
     def _create_criteria(self) -> List:
+        goal = np.asarray(self.route.positions[-1], float)
         table = {
+            # the srunner openscenario_parser criteria_* surface (its imports
+            # at tools/openscenario_parser.py:37-51) — full 18-class parity
             "CollisionTest": lambda: CollisionTest(),
             "RouteCompletionTest": lambda: RouteCompletionTest(self.route),
             "RunningRedLightTest": lambda: RunningRedLightTest(self.backend),
@@ -388,6 +394,16 @@ class OpenScenario(BasicScenario):
             "InRouteTest": lambda: InRouteTest(self.route),
             "BlockedTest": lambda: BlockedTest(),
             "TimeoutTest": lambda: TimeoutTest(self.route),
+            "AverageVelocityTest": lambda: AverageVelocityTest(1.0),
+            "KeepLaneTest": lambda: KeepLaneTest(self.backend),
+            "OffRoadTest": lambda: OffRoadTest(self.backend),
+            "EndofRoadTest": lambda: EndofRoadTest(self.backend),
+            "OnSidewalkTest": lambda: OnSidewalkTest(self.backend),
+            "WrongLaneTest": lambda: WrongLaneTest(self.backend),
+            "ReachedRegionTest": lambda: ReachedRegionTest(
+                goal[0] - 10.0, goal[0] + 10.0, goal[1] - 10.0, goal[1] + 10.0),
+            "InRadiusRegionTest": lambda: InRadiusRegionTest(
+                goal[0], goal[1], 10.0),
         }
         names = self.config.criteria_names or ["CollisionTest",
                                                "RouteCompletionTest"]

@@ -79,6 +79,9 @@ def run_scenario(backend, scenario_cls, agent, start_idx=0, target_idx=3,
         def get(self, name):
             return scenario.criteria.get(name)
 
+        def finalize(self):
+            scenario.criteria.finalize()
+
     result = run_episode(backend, agent, _ScenarioCriteria(), frame,
                          max_ticks=max_ticks, route=route, recorder=recorder)
     if recorder is not None:

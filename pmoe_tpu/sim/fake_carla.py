@@ -293,6 +293,59 @@ class FakeCarlaBackend(DrivingBackend):
         return (dist_to_grid_line(self._ego.x) > 3.5
                 and dist_to_grid_line(self._ego.y) > 3.5)
 
+    def on_sidewalk(self) -> bool:
+        """True when the ego is on the sidewalk strip: the 2.5 m band just
+        outside the 3.5 m road corridor (OnSidewalkTest's LaneType.Sidewalk)."""
+        span = self._grid_n * _BLOCK
+        if not (-6.0 <= self._ego.x <= span + 6.0
+                and -6.0 <= self._ego.y <= span + 6.0):
+            return False                        # beyond the sidewalk: off-road
+
+        def dist_to_grid_line(c):
+            m = c % _BLOCK
+            return min(m, _BLOCK - m)
+
+        d = min(dist_to_grid_line(self._ego.x), dist_to_grid_line(self._ego.y))
+        return 3.5 < d <= 6.0
+
+    def off_road(self) -> bool:
+        """True when the ego is beyond even the sidewalk band — no waypoint of
+        any lane type projects to it (OffRoadTest's map.get_waypoint=None)."""
+        span = self._grid_n * _BLOCK
+
+        def dist_to_grid_line(c):
+            m = c % _BLOCK
+            return min(m, _BLOCK - m)
+
+        if not (-6.0 <= self._ego.x <= span + 6.0
+                and -6.0 <= self._ego.y <= span + 6.0):
+            return True
+        return (dist_to_grid_line(self._ego.x) > 6.0
+                and dist_to_grid_line(self._ego.y) > 6.0)
+
+    def road_id(self) -> int:
+        """OpenDRIVE-style road id of the nearest grid road: vertical roads
+        (x = k*_BLOCK) map to 2k, horizontal roads (y = j*_BLOCK) to 2j+1
+        (EndofRoadTest reads waypoint.road_id transitions)."""
+        kx = round(self._ego.x / _BLOCK)
+        jy = round(self._ego.y / _BLOCK)
+        dx = abs(self._ego.x - kx * _BLOCK)
+        dy = abs(self._ego.y - jy * _BLOCK)
+        return int(2 * kx) if dx <= dy else int(2 * jy + 1)
+
+    def lane_direction(self) -> Tuple[float, float]:
+        """Unit forward vector of the right-hand-traffic lane under the ego
+        (WrongLaneTest compares it against the ego heading). Horizontal road:
+        the +2 m lane (y above centerline) heads +x; the vertical analog by
+        90-degree rotation: the -2 m lane (x below centerline) heads +y."""
+        kx = round(self._ego.x / _BLOCK)
+        jy = round(self._ego.y / _BLOCK)
+        dx = abs(self._ego.x - kx * _BLOCK)
+        dy = abs(self._ego.y - jy * _BLOCK)
+        if dy <= dx:                           # horizontal road is closer
+            return (1.0, 0.0) if self._ego.y >= jy * _BLOCK else (-1.0, 0.0)
+        return (0.0, 1.0) if self._ego.x <= kx * _BLOCK else (0.0, -1.0)
+
     def _check_collision(self) -> Optional[CollisionEvent]:
         p = np.array([self._ego.x, self._ego.y])
         for npc in self._npcs:

@@ -871,3 +871,166 @@ def test_behavior_tree_composites():
     par = Parallel([Idle(), WaitForSeconds(0.1)], success_on_one=True)
     assert par.tick(b, ego) == Status.RUNNING   # 0.1 s = 2 ticks at 20 Hz
     assert par.tick(b, ego) == Status.SUCCESS
+
+
+# ---------------------------------------------------------------------------
+# the 8 remaining srunner criterion classes (18/18 parity — VERDICT r1 #5)
+# ---------------------------------------------------------------------------
+
+class _Frame:
+    frame = 0
+
+
+def test_average_velocity_criterion():
+    """AverageVelocityTest (srunner atomic_criteria.py:202): SUCCESS above the
+    target, ACCEPTABLE between thresholds, RUNNING->FAILURE at finalize."""
+    from pmoe_tpu.eval.criteria import AverageVelocityTest
+    from pmoe_tpu.sim.interface import SIM_DT, EgoState
+
+    av = AverageVelocityTest(5.0, avg_velocity_acceptable=2.0)
+    ego = EgoState(x=0, y=0, yaw=0, speed=3.0)
+    for _ in range(int(1.0 / SIM_DT)):
+        av.update(ego, _Frame)
+    assert av.test_status == "ACCEPTABLE" and 2.9 < av.actual_value <= 3.0
+    fast = EgoState(x=0, y=0, yaw=0, speed=20.0)
+    for _ in range(int(1.0 / SIM_DT)):
+        av.update(fast, _Frame)
+    assert av.test_status == "SUCCESS"
+    slow = AverageVelocityTest(5.0)
+    slow.update(EgoState(x=0, y=0, yaw=0, speed=1.0), _Frame)
+    slow.finalize()
+    assert slow.test_status == "FAILURE"    # never reached the target
+
+
+def test_keep_lane_criterion():
+    """KeepLaneTest (srunner :513): each on->off lane edge counts one
+    invasion; any invasion is FAILURE."""
+    from pmoe_tpu.eval.criteria import KeepLaneTest
+    from pmoe_tpu.sim.interface import EgoState
+
+    backend = FakeCarlaBackend(render=False)
+    backend.reset(backend.trace_route(0, 3))
+    kl = KeepLaneTest(backend)
+    ego = backend.ego_state()
+    kl.update(ego, _Frame)
+    assert kl.test_status == "SUCCESS" and kl.actual_value == 0
+    backend._ego.x, backend._ego.y = 50.0, 50.0     # mid-block: off every lane
+    kl.update(backend.ego_state(), _Frame)
+    kl.update(backend.ego_state(), _Frame)          # still off: no double count
+    assert kl.test_status == "FAILURE" and kl.actual_value == 1
+    backend.close()
+
+
+def test_region_criteria():
+    """ReachedRegionTest (:573) and InRadiusRegionTest (:1408): SUCCESS latched
+    inside the region; still-RUNNING flips to FAILURE at finalize."""
+    from pmoe_tpu.eval.criteria import InRadiusRegionTest, ReachedRegionTest
+    from pmoe_tpu.sim.interface import EgoState
+
+    rr = ReachedRegionTest(40.0, 60.0, -10.0, 10.0)
+    ir = InRadiusRegionTest(50.0, 0.0, 5.0)
+    far = EgoState(x=0, y=0, yaw=0, speed=0)
+    rr.update(far, _Frame); ir.update(far, _Frame)
+    assert rr.test_status == "RUNNING" and ir.test_status == "RUNNING"
+    inside = EgoState(x=50, y=2, yaw=0, speed=0)
+    rr.update(inside, _Frame); ir.update(inside, _Frame)
+    assert rr.test_status == "SUCCESS" and ir.test_status == "SUCCESS"
+    out = ReachedRegionTest(40.0, 60.0, -10.0, 10.0)
+    out.update(far, _Frame); out.finalize()
+    assert out.test_status == "FAILURE"
+
+
+def test_off_road_and_sidewalk_criteria():
+    """OffRoadTest (:624) fails after `duration` s beyond the sidewalk band;
+    OnSidewalkTest (:774) accumulates sidewalk meters and fails on time
+    outside driving lanes."""
+    from pmoe_tpu.eval.criteria import OffRoadTest, OnSidewalkTest
+    from pmoe_tpu.sim.interface import SIM_DT
+
+    backend = FakeCarlaBackend(render=False)
+    backend.reset(backend.trace_route(0, 3))
+    off = OffRoadTest(backend, duration=0.2)
+    sw = OnSidewalkTest(backend, duration=0.2)
+    # on the lane: neither fires
+    for _ in range(10):
+        off.update(backend.ego_state(), _Frame)
+        sw.update(backend.ego_state(), _Frame)
+    assert off.test_status == "RUNNING" and sw.test_status == "RUNNING"
+    # sidewalk band (5 m off the horizontal road at y=0): sidewalk, NOT offroad
+    backend._ego.x, backend._ego.y, backend._ego.speed = 30.0, 5.0, 2.0
+    assert backend.on_sidewalk() and not backend.off_road()
+    for _ in range(int(0.3 / SIM_DT)):
+        off.update(backend.ego_state(), _Frame)
+        sw.update(backend.ego_state(), _Frame)
+    assert off.test_status == "RUNNING"            # sidewalk isn't off-road
+    assert sw.test_status == "FAILURE" and sw.actual_value > 0
+    # mid-block: truly off-road
+    backend._ego.x, backend._ego.y = 50.0, 50.0
+    assert backend.off_road()
+    for _ in range(int(0.3 / SIM_DT)):
+        off.update(backend.ego_state(), _Frame)
+    assert off.test_status == "FAILURE"
+    backend.close()
+
+
+def test_end_of_road_criterion():
+    """EndofRoadTest (:705): a road-id change starts the timer; FAILURE and
+    count after `duration` seconds."""
+    from pmoe_tpu.eval.criteria import EndofRoadTest
+    from pmoe_tpu.sim.interface import SIM_DT
+
+    backend = FakeCarlaBackend(render=False)
+    backend.reset(backend.trace_route(0, 3))
+    er = EndofRoadTest(backend, duration=0.2)
+    backend._ego.x, backend._ego.y = 30.0, 1.0      # horizontal road y=0
+    for _ in range(5):
+        er.update(backend.ego_state(), _Frame)
+    assert er.test_status == "RUNNING"
+    backend._ego.x, backend._ego.y = 1.0, 30.0      # vertical road x=0
+    assert backend.road_id() != 1
+    for _ in range(int(0.4 / SIM_DT)):
+        er.update(backend.ego_state(), _Frame)
+    assert er.test_status == "FAILURE" and er.actual_value == 1
+    backend.close()
+
+
+def test_wrong_lane_criterion():
+    """WrongLaneTest (:1234): heading >120 degrees off the right-hand-traffic
+    lane direction counts a wrong-lane entry and accumulates meters."""
+    import math
+
+    from pmoe_tpu.eval.criteria import WrongLaneTest
+    from pmoe_tpu.sim.interface import EgoState
+
+    backend = FakeCarlaBackend(render=False)
+    backend.reset(backend.trace_route(0, 3))
+    wl = WrongLaneTest(backend)
+    # right-hand lane of the horizontal road (y=+2) heads +x
+    backend._ego.x, backend._ego.y, backend._ego.yaw = 30.0, 2.0, 0.0
+    backend._ego.speed = 5.0
+    wl.update(backend.ego_state(), _Frame)
+    assert wl.test_status == "RUNNING" and wl.actual_value == 0
+    backend._ego.yaw = math.pi                      # against traffic
+    wl.update(backend.ego_state(), _Frame)
+    wl.update(backend.ego_state(), _Frame)          # still wrong: one entry
+    assert wl.test_status == "FAILURE" and wl.actual_value == 1
+    assert wl.summary_events()[0]["meters"] > 0
+    backend.close()
+
+
+def test_criteria_tree_finalize_runs_in_episode():
+    """run_episode settles achieved-goal criteria at episode end (srunner
+    terminate semantics): an unreached region reads FAILURE afterwards."""
+    from pmoe_tpu.eval.criteria import CriteriaTree, InRadiusRegionTest
+    from pmoe_tpu.eval.manager import run_episode
+    from pmoe_tpu.eval.scenario_cli import ScriptedFollowAgent
+
+    backend = FakeCarlaBackend(render=False)
+    route = backend.trace_route(0, 3)
+    frame = backend.reset(route)
+    agent = ScriptedFollowAgent(None)
+    agent.set_global_plan(route.gps_plan())
+    ir = InRadiusRegionTest(1e6, 1e6, 1.0)          # unreachable
+    run_episode(backend, agent, CriteriaTree([ir]), frame, max_ticks=5)
+    assert ir.test_status == "FAILURE"
+    backend.close()
