@@ -22,11 +22,16 @@ from .route_indexer import RouteIndexer
 from .route_parser import parse_routes_file
 from .statistics import StatisticsManager
 
-__all__ = ["main", "DEFAULT_ROUTES_FILE"]
+__all__ = ["main", "DEFAULT_ROUTES_FILE", "DEFAULT_SCENARIOS_FILE"]
 
 DEFAULT_ROUTES_FILE = str(
     Path(__file__).resolve().parent.parent / "assets" / "routes"
-    / "routes_town01.xml")
+    / "routes_all.xml")
+#: the reference hardcodes assets/all_towns_traffic_scenarios.json
+#: (eval/evaluate.py:12-15); this ships the grid-town equivalent
+DEFAULT_SCENARIOS_FILE = str(
+    Path(__file__).resolve().parent.parent / "assets" / "scenarios"
+    / "all_towns_traffic_scenarios.json")
 
 
 class _RouteWorkerBuilder:
@@ -34,12 +39,13 @@ class _RouteWorkerBuilder:
     and evaluates whole routes, returning the scored record dict."""
 
     def __init__(self, backend_kind: str, town: str, config: str, max_ticks,
-                 inject_scenarios: bool):
+                 inject_scenarios: bool, scenarios_file=None):
         self.backend_kind = backend_kind
         self.town = town
         self.config = config
         self.max_ticks = max_ticks
         self.inject_scenarios = inject_scenarios
+        self.scenarios_file = scenarios_file
 
     def __call__(self, worker_id: int):
         cfg = get_conf(self.config)
@@ -49,7 +55,8 @@ class _RouteWorkerBuilder:
             stats = StatisticsManager()
             ev = LeaderboardEvaluator(
                 backend, stats, max_ticks=self.max_ticks, verbose=False,
-                inject_scenarios=self.inject_scenarios)
+                inject_scenarios=self.inject_scenarios,
+                scenarios_file=self.scenarios_file)
             ev._run_route(lambda: ImageAgent(cfg), route_cfg)
             return stats._registry[route_cfg.index].to_dict()
 
@@ -72,6 +79,10 @@ def main(argv=None):
     parser.add_argument("--max-ticks", type=int, default=None)
     parser.add_argument("--no-scenarios", action="store_true",
                         help="disable adversarial scenario injection")
+    parser.add_argument("--scenarios-file", default=DEFAULT_SCENARIOS_FILE,
+                        help="per-town trigger-JSON annotations "
+                             "(all_towns_traffic_scenarios.json schema); "
+                             "pass '' to fall back to spacing-based hazards")
     parser.add_argument("--workers", type=int, default=1,
                         help="parallel route workers (Ray-fleet analog)")
     parser.add_argument("--record-dir", default=None,
@@ -99,7 +110,8 @@ def main(argv=None):
         n_pedestrians=int(env.get("n_pedestrians", 0)),
         max_ticks=args.max_ticks,
         inject_scenarios=not args.no_scenarios,
-        record_dir=args.record_dir)
+        record_dir=args.record_dir,
+        scenarios_file=args.scenarios_file or None)
 
     if args.workers > 1:
         from .parallel_runner import ParallelEvalRunner
@@ -109,7 +121,8 @@ def main(argv=None):
             tasks.append(indexer.next())
         runner = ParallelEvalRunner(
             _RouteWorkerBuilder(args.backend, args.town, args.config,
-                                args.max_ticks, not args.no_scenarios),
+                                args.max_ticks, not args.no_scenarios,
+                                args.scenarios_file or None),
             num_workers=args.workers)
         try:
             for _task, record in runner.run(tasks):

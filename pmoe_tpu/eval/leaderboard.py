@@ -30,7 +30,7 @@ class LeaderboardEvaluator:
                  n_vehicles: int = 0, n_pedestrians: int = 0,
                  max_ticks: int | None = None, verbose: bool = True,
                  inject_scenarios: bool = True, scenario_spacing: float = 80.0,
-                 sensor_hub=None, record_dir=None):
+                 sensor_hub=None, record_dir=None, scenarios_file=None):
         self.backend = backend
         self.stats = stats
         self.checkpoint_path = checkpoint_path
@@ -42,6 +42,14 @@ class LeaderboardEvaluator:
         self.scenario_spacing = scenario_spacing
         self.sensor_hub = sensor_hub        # injectable for failure tests
         self.record_dir = record_dir       # per-route recordings for metrics
+        # per-town trigger-JSON annotations (all_towns_traffic_scenarios.json
+        # schema): when present, scenarios are position+heading-matched to
+        # each route (reference semantics) instead of spacing-injected
+        self.annotations = None
+        if scenarios_file:
+            from .route_parser import parse_annotations_file
+
+            self.annotations = parse_annotations_file(scenarios_file)
 
     def run(self, agent_factory, route_indexer: RouteIndexer,
             resume: bool = False) -> dict:
@@ -67,7 +75,25 @@ class LeaderboardEvaluator:
             return interpolate_route(cfg.waypoints)
         return self.backend.trace_route(cfg.start_idx, cfg.target_idx)
 
+    def _make_injector(self, cfg, trace):
+        if not self.inject_scenarios:
+            return None
+        if self.annotations is not None:
+            from .route_parser import (scan_route_for_scenarios,
+                                       scenario_sampling)
+
+            possible = scan_route_for_scenarios(cfg.town, trace,
+                                                self.annotations)
+            defs = scenario_sampling(possible, seed=cfg.index)
+            return ScenarioInjector.from_definitions(trace, defs,
+                                                     seed=cfg.index)
+        return ScenarioInjector(trace, spacing=self.scenario_spacing,
+                                seed=cfg.index)
+
     def _run_route(self, agent_factory, cfg) -> None:
+        if cfg.town != getattr(self.backend, "town", cfg.town) \
+                and hasattr(self.backend, "load_world"):
+            self.backend.load_world(cfg.town)   # route is town-parameterized
         trace = self._trace(cfg)
         frame = self.backend.reset(trace, weather=1,
                                    n_vehicles=self.n_vehicles,
@@ -87,9 +113,7 @@ class LeaderboardEvaluator:
             BlockedTest(),
             TimeoutTest(trace),
         ])
-        injector = (ScenarioInjector(trace, spacing=self.scenario_spacing,
-                                     seed=cfg.index)
-                    if self.inject_scenarios else None)
+        injector = self._make_injector(cfg, trace)
 
         recorder = None
         if self.record_dir is not None:
