@@ -13,7 +13,8 @@ from __future__ import annotations
 import argparse
 
 from ..sim.fake_carla import FakeCarlaBackend
-from .collector_agent import RandomCollectorAgent, collect_episode
+from .collector_agent import (QCollectorAgent, RandomCollectorAgent,
+                              collect_episode)
 
 __all__ = ["main"]
 
@@ -30,6 +31,12 @@ def main(argv=None):
     parser.add_argument("--random", action="store_true",
                         help="random-action policy (the reference phase-0 "
                              "random collector) instead of the expert follower")
+    parser.add_argument("--q", action="store_true",
+                        help="action-value (Q) collector: birdview-scored "
+                             "action table sampled by Categorical(Q/temp), "
+                             "Q labels recorded per tick (the reference "
+                             "q_collector's role, rebuilt — see "
+                             "QCollectorAgent)")
     parser.add_argument("--max-ticks", type=int, default=500)
     parser.add_argument("--img-width", type=int, default=800)
     parser.add_argument("--img-height", type=int, default=600)
@@ -58,7 +65,9 @@ def main(argv=None):
                 weather=weathers[ep % len(weathers)],
                 max_ticks=args.max_ticks, noise_std=args.noise,
                 seed=args.seed + ep,
-                agent_cls=RandomCollectorAgent if args.random else None)
+                agent_cls=(QCollectorAgent if args.q
+                           else RandomCollectorAgent if args.random
+                           else None))
             total += n
             print(f"[collect] episode_{ep:03d}: {n} frames "
                   f"({start}->{target})")

@@ -21,10 +21,10 @@ import cv2
 import numpy as np
 
 from ..sim.interface import RoadOption, VehicleControl
-from .autonomous_agent import AutonomousAgent
+from .autonomous_agent import AutonomousAgent, Track
 from .waypointer import Waypointer
 
-__all__ = ["CollectorAgent", "RandomCollectorAgent",
+__all__ = ["CollectorAgent", "RandomCollectorAgent", "QCollectorAgent",
            "CollectorCollision", "collect_episode", "get_entry_point"]
 
 
@@ -154,6 +154,139 @@ class RandomCollectorAgent(CollectorAgent):
         return VehicleControl(steer=steer, throttle=throttle, brake=brake)
 
 
+class QCollectorAgent(CollectorAgent):
+    """Action-value (Q) collector — semantic rebuild of the reference's
+    broken ``q_collector.py`` (it imports the never-vendored World-on-Rails
+    ``rails.bellman``/``rails.models``, q_collector.py:17-18, so a faithful
+    port is impossible; VERDICT r1 asked for a rebuild-or-document decision
+    and this is the rebuild).
+
+    Reference semantics kept (q_collector.py:202-280): Track.MAP (birdview
+    label sensor), a discretized action table (num_steers x num_throts +
+    brake), action VALUES computed by rolling an ego kinematics model
+    against reward maps derived from the map label, action sampled from
+    ``Categorical(Q / temperature)``, OU noise on steer, per-tick labels
+    recorded for phase-1 training.
+
+    Simplification, by necessity: WoR's ``BellmanUpdater`` runs deep value
+    iteration over a learned EgoModel — that lives in the absent ``rails``
+    package. Here the action table is scored by a ONE-STEP kinematic
+    (bicycle-model) lookahead on the 12-channel birdview: route-channel hits
+    reward progress, vehicle/pedestrian/red-light occupancy ahead penalizes
+    motion and rewards the brake action. The recorded artifact is the same:
+    a per-tick Q table over the action grid (``q_values`` in measurements,
+    the lmdb action-value-label analog).
+    """
+
+    def setup(self, config) -> None:
+        super().setup(config)
+        self.track = Track.MAP          # birdview label sensor (q_collector:56)
+        config = config or {}
+        self.num_repeat = int(config.get("num_repeat", 4))
+        self.temperature = float(config.get("temperature", 0.1))
+        num_steers = int(config.get("num_steers", 9))
+        num_throts = int(config.get("num_throts", 3))
+        self.max_steers = float(config.get("max_steers", 1.0))
+        self.max_throts = float(config.get("max_throts", 0.75))
+        steers = np.linspace(-self.max_steers, self.max_steers, num_steers)
+        throts = np.linspace(self.max_throts / num_throts, self.max_throts,
+                             num_throts)
+        # (A, 3) action table: steer x throttle grid + the brake action
+        # (the BellmanUpdater._actions analog)
+        grid = [(s, t, 0.0) for s in steers for t in throts] + [(0.0, 0.0, 1.0)]
+        self.actions = np.asarray(grid, np.float32)
+        from ..utils.noise import OrnsteinUhlenbeckActionNoise
+
+        self.noiser = OrnsteinUhlenbeckActionNoise(
+            mu=np.zeros(1), sigma=0.1 * np.ones(1), theta=0.1, dt=1.0 / 20.0)
+
+    #: arc-projected scoring horizon (meters): the action's resulting heading
+    #: is extended this far so steering separates route-keeping from veering
+    LOOKAHEAD_M = 8.0
+
+    def _action_values(self, birdview: np.ndarray, spd: float) -> np.ndarray:
+        """Lookahead Q over the action table on the ego-centric map (ego at
+        (0.5W, 0.75H) heading up, ``ppm`` px/m — sim/birdview.py): roll the
+        bicycle model for one (repeated) action interval, then project a
+        corridor of sample points along the resulting heading; route-channel
+        hits reward progress, hazard occupancy anywhere on the corridor
+        penalizes motion and rewards the brake action."""
+        H, W, _ = birdview.shape
+        ppm = 5.0 * (H / 192.0)
+        ex, ey = 0.5 * W, 0.75 * H
+        dt = (self.num_repeat + 1) / 20.0
+        route = birdview[..., 2] > 0
+        hazard = (birdview[..., 3] | birdview[..., 4] | birdview[..., 5]) > 0
+        hazard[int(ey) - 2:int(ey) + 3, int(ex) - 2:int(ex) + 3] = False  # ego
+
+        def hit(mask, fwd_m, lat_m, r):
+            px = min(max(int(round(ex + lat_m * ppm)), 0), W - 1)
+            py = min(max(int(round(ey - fwd_m * ppm)), 0), H - 1)
+            return bool(mask[max(py - r, 0):py + r + 1,
+                             max(px - r, 0):px + r + 1].any())
+
+        q = np.zeros(len(self.actions), np.float32)
+        for i, (steer, throt, brake) in enumerate(self.actions):
+            accel = 4.0 * throt - 8.0 * brake - 0.1 * spd
+            v1 = max(0.0, spd + accel * dt)
+            d = 0.5 * (spd + v1) * dt
+            dpsi = (0.5 * (spd + v1) / 2.9) * math.tan(steer * 0.5) * dt
+            # scoring point: one interval of motion + LOOKAHEAD along the
+            # resulting heading (ego frame, heading up)
+            L = self.LOOKAHEAD_M
+            fwd_s = d * math.cos(0.5 * dpsi) + L * math.cos(dpsi)
+            lat_s = d * math.sin(0.5 * dpsi) + L * math.sin(dpsi)
+            on_route = float(hit(route, fwd_s, lat_s, 2))
+            blocked = any(
+                hit(hazard, u * fwd_s, u * lat_s, 3)
+                for u in (0.25, 0.5, 0.75, 1.0))
+            # small smoothness prior breaks ties among on-route steers
+            q[i] = d * 0.2 + (d + 0.3) * on_route - 5.0 * float(blocked) \
+                - 0.05 * abs(steer)
+            if brake > 0:
+                # braking is right when something occupies the path ahead
+                ahead = hazard[max(int(ey - 12 * ppm / 5), 0):int(ey),
+                               int(ex - 4):int(ex + 5)].any()
+                q[i] = 2.0 if ahead else -0.5
+        return q
+
+    def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
+        if input_data.get("COLLISION", (0, False))[1]:
+            raise CollectorCollision("Q-collector has collided")
+        _, gps = input_data["GPS"]
+        _, ego = input_data["EGO"]
+        _, birdview = input_data["MAP"]
+        if self.waypointer is None:
+            self.waypointer = Waypointer(self._global_plan, gps,
+                                         threshold_before=25.0,
+                                         threshold_after=25.0)
+        _, _, cmd = self.waypointer.tick(gps)
+        spd = float(ego["spd"])
+        q = self._action_values(birdview, spd)
+        # Categorical(logits = Q / temperature) sampling (q_collector.py:264)
+        logits = q / self.temperature
+        p = np.exp(logits - logits.max())
+        p /= p.sum()
+        a = int(self._rng.choice(len(q), p=p))
+        steer, throttle, brake = map(float, self.actions[a])
+        steer = float(np.clip(steer + float(self.noiser()[0]), -1, 1))
+        self._last_q = q
+        self._record(input_data, cmd, steer, throttle, brake, spd)
+        return VehicleControl(steer=steer, throttle=throttle, brake=brake)
+
+    def _record(self, input_data, cmd, steer, throttle, brake, spd) -> None:
+        """Base recording + the per-tick action-value table (phase-1 label)."""
+        write = self.idx % self.save_every == 0
+        name = f"{self.idx:06d}"
+        super()._record(input_data, cmd, steer, throttle, brake, spd)
+        if write and getattr(self, "_last_q", None) is not None:
+            path = self._ep_dir / "measurements" / f"{name}.json"
+            meas = json.loads(path.read_text())
+            meas["q_values"] = [round(float(v), 4) for v in self._last_q]
+            meas["actions"] = self.actions.round(4).tolist()
+            path.write_text(json.dumps(meas))
+
+
 class CollectorCollision(RuntimeError):
     """The random collector hit something; the episode is aborted
     (reference random_collector.py:126)."""
@@ -175,11 +308,16 @@ def collect_episode(backend, out_dir: str, episode: str, start_idx: int = 0,
         {"out_dir": out_dir, "episode": episode,
          "noise_std": noise_std, "seed": seed})
     agent.set_global_plan(route.gps_plan())
+    needs_map = getattr(agent, "track", None) == Track.MAP
+    if needs_map:
+        from ..sim.birdview import render_birdview
     for _ in range(max_ticks):
         data = build_input_data(frame)
         data["COMPASS"] = (frame.frame, frame.compass)
         if frame.seg is not None:
             data["SEG"] = (frame.frame, frame.seg)
+        if needs_map:
+            data["MAP"] = (frame.frame, render_birdview(backend, route))
         try:
             control = agent.run_step(data, frame.timestamp)
         except CollectorCollision:

@@ -97,6 +97,20 @@ class ImageAgent(AutonomousAgent):
                                     if "batch_stats" in ck
                                     else variables.get("batch_stats", {})),
                 }
+        # optional expert-parallel inference: the stacked-expert axis of the
+        # MoE params shards over an 'expert' mesh and XLA partitions the
+        # jitted sample accordingly (the cache key includes the actor cfg,
+        # so sharded and unsharded agents never share compiled steps)
+        par = dict(actor_cfg.get("parallel", {}) or {})
+        n_expert_devices = int(par.get("expert", 1))
+        self.mesh = None
+        if n_expert_devices > 1:
+            from ..parallel import make_mesh, shard_params
+
+            self.mesh = make_mesh(jax.devices()[:n_expert_devices],
+                                  data=1, expert=n_expert_devices)
+            variables = {k: shard_params(self.mesh, v)
+                         for k, v in variables.items()}
         self._variables = variables
 
         # device-resident ring buffer of normalized frames (1, T, H, W, 3)

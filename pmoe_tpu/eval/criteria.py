@@ -73,33 +73,50 @@ class CollisionTest(Criterion):
 
 
 class RouteCompletionTest(Criterion):
-    name = "RouteCompletionTest"
+    """Route progress by srunner's per-waypoint index accounting
+    (atomic_criteria.py:1587-1683): the current index only advances within a
+    WINDOWS_SIZE look-ahead, and a waypoint counts as passed when the ego is
+    beyond it along the waypoint's own forward direction (dot test) — robust
+    on self-intersecting and hairpin routes where distance-window projection
+    can jump across the crossing."""
 
-    def __init__(self, route: Route, dist_success: float = 10.0, **kw):
+    name = "RouteCompletionTest"
+    DISTANCE_THRESHOLD = 10.0     # meters (srunner :1597)
+    WINDOWS_SIZE = 2              # waypoints of per-tick look-ahead (:1598)
+
+    def __init__(self, route: Route, dist_success: Optional[float] = None,
+                 **kw):
         super().__init__(**kw)
         self.route = route
-        self._cum = np.concatenate([
-            [0.0], np.cumsum(np.sqrt(
-                (np.diff(route.positions, axis=0) ** 2).sum(-1)))])
+        pos = np.asarray(route.positions, float)
+        seg = np.diff(pos, axis=0)
+        self._cum = np.concatenate([[0.0],
+                                    np.cumsum(np.sqrt((seg ** 2).sum(-1)))])
         self._total = max(float(self._cum[-1]), 1e-6)
-        self._dist_success = dist_success
-        self._best_idx = 0
+        # per-waypoint forward direction (last one inherits its predecessor's)
+        norm = np.sqrt((seg ** 2).sum(-1, keepdims=True))
+        fwd = seg / np.maximum(norm, 1e-9)
+        self._fwd = np.concatenate([fwd, fwd[-1:]], axis=0)
+        self._dist_success = (self.DISTANCE_THRESHOLD if dist_success is None
+                              else dist_success)
+        self._current_index = 0
         self.actual_value = 0.0
 
     def update(self, ego: EgoState, frame) -> None:
+        if self.test_status == "SUCCESS":
+            return
         p = np.array([ego.x, ego.y])
-        # monotone progress: search a window ahead of the best index
-        lo = self._best_idx
-        hi = min(lo + 200, len(self.route.positions))
-        d = np.sqrt(((self.route.positions[lo:hi] - p) ** 2).sum(-1))
-        near = np.where(d < 6.0)[0]
-        if near.size:
-            self._best_idx = lo + int(near[-1])
-        self.actual_value = round(
-            100.0 * self._cum[self._best_idx] / self._total, 2)
-        end_dist = float(np.linalg.norm(self.route.positions[-1] - p))
-        if (end_dist < self._dist_success
-                or self._best_idx >= len(self.route.positions) - 2):
+        pos = self.route.positions
+        n = len(pos)
+        hi = min(self._current_index + self.WINDOWS_SIZE + 1, n)
+        for index in range(self._current_index, hi):
+            # passed the waypoint along its own forward direction?
+            if float(np.dot(p - pos[index], self._fwd[index])) > 0.0:
+                self._current_index = index
+                self.actual_value = round(
+                    100.0 * self._cum[index] / self._total, 2)
+        end_dist = float(np.linalg.norm(pos[-1] - p))
+        if self.actual_value > 99.0 and end_dist < self._dist_success:
             self.actual_value = 100.0
             self.test_status = "SUCCESS"
 

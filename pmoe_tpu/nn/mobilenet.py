@@ -42,7 +42,7 @@ class _ConvBNAct(nn.Module):
     kernel: int = 3
     stride: int = 1
     groups: int = 1
-    act: str = "relu6"          # relu6 | hswish | none
+    act: str = "relu6"          # relu6 | relu | hswish | none
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -57,6 +57,8 @@ class _ConvBNAct(nn.Module):
                          epsilon=1e-3, **kw)(x)
         if self.act == "relu6":
             x = nn.relu6(x)
+        elif self.act == "relu":            # torchvision v3's "RE" blocks
+            x = nn.relu(x)
         elif self.act == "hswish":
             x = hard_swish(x)
         return x
@@ -121,10 +123,10 @@ _V2_BLOCKS = [
 
 # (kernel, expand_ch, out_ch, use_se, act, stride) — MobileNetV3 paper Tables 1-2
 _V3_LARGE_BLOCKS = [
-    (3, 16, 16, False, "relu6", 1),
-    (3, 64, 24, False, "relu6", 2), (3, 72, 24, False, "relu6", 1),
-    (5, 72, 40, True, "relu6", 2), (5, 120, 40, True, "relu6", 1),
-    (5, 120, 40, True, "relu6", 1),
+    (3, 16, 16, False, "relu", 1),
+    (3, 64, 24, False, "relu", 2), (3, 72, 24, False, "relu", 1),
+    (5, 72, 40, True, "relu", 2), (5, 120, 40, True, "relu", 1),
+    (5, 120, 40, True, "relu", 1),
     (3, 240, 80, False, "hswish", 2), (3, 200, 80, False, "hswish", 1),
     (3, 184, 80, False, "hswish", 1), (3, 184, 80, False, "hswish", 1),
     (3, 480, 112, True, "hswish", 1), (3, 672, 112, True, "hswish", 1),
@@ -133,8 +135,8 @@ _V3_LARGE_BLOCKS = [
 ]
 
 _V3_SMALL_BLOCKS = [
-    (3, 16, 16, True, "relu6", 2),
-    (3, 72, 24, False, "relu6", 2), (3, 88, 24, False, "relu6", 1),
+    (3, 16, 16, True, "relu", 2),
+    (3, 72, 24, False, "relu", 2), (3, 88, 24, False, "relu", 1),
     (5, 96, 40, True, "hswish", 2), (5, 240, 40, True, "hswish", 1),
     (5, 240, 40, True, "hswish", 1),
     (5, 120, 48, True, "hswish", 1), (5, 144, 48, True, "hswish", 1),
@@ -166,9 +168,15 @@ class MobileNetBackbone(nn.Module):
         else:
             stem_ch, blocks = 16, _V3_SMALL_BLOCKS
 
-        # reference: features[0][0] replaced by EfficientConvBlock (stride 1)
+        # reference: ONLY features[0][0] (the conv) is replaced by the
+        # EfficientConvBlock (backbone.py:92-97) — torchvision's stem BN and
+        # activation (Hardswish for v3, ReLU6 for v2) still follow it
         x = EfficientConvBlock(self.in_channels, stem_ch, gamma=self.gamma,
                                b=self.b, name="stem", **kw)(x, train)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5 if arch == "mobilenet_v2" else 1e-3,
+                         name="stem_bn", **kw)(x)
+        x = nn.relu6(x) if arch == "mobilenet_v2" else hard_swish(x)
 
         in_ch = stem_ch
         if arch == "mobilenet_v2":

@@ -100,9 +100,13 @@ class ResNetBackbone(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         block_cls = _BasicBlock if spec["block"] == "basic" else _Bottleneck
 
-        # Stem: ECA conv entry fusing stacked frames (stride 1), then maxpool
+        # Stem: ECA conv entry fusing stacked frames (stride 1). The reference
+        # replaces ONLY torchvision's conv1 (backbone.py:63-65), so the
+        # original bn1 + ReLU still run after it, then maxpool.
         x = EfficientConvBlock(self.in_channels, 64, gamma=self.gamma,
                                b=self.b, name="stem", **kw)(x, train)
+        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name="bn1", **kw)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)

@@ -174,7 +174,10 @@ def augment(rng: jax.Array, images: jnp.ndarray, image_iteration,
         # LinearContrast((con_neg, con_pos), per_channel=color)
         x = _sometimes(ks[15], f.freq, x, I.linear_contrast(
             ks[16], x, zeros + f.con_neg, zeros + f.con_pos, f.color))
-        # Grayscale((0, 1))
-        x = _sometimes(ks[17], f.freq, x, I.grayscale(ks[17], x, 0.0, 1.0))
+        if aug_type != "super_hard":
+            # Grayscale((0, 1)) — active in medium/soft/high/medium_harder/
+            # soft_harder; commented out in super_hard and custom
+            # (reference augmenter.py:149,227,305,383,607 vs :465,:529)
+            x = _sometimes(ks[17], f.freq, x, I.grayscale(ks[17], x, 0.0, 1.0))
 
     return _finish(x, orig_shape)

@@ -39,7 +39,8 @@ __all__ = [
     "bn_from_torch", "eca_from_torch", "mlp_from_torch", "conv3_from_torch",
     "efficient_conv_block_from_torch", "unet_from_torch",
     "resnet_from_torchvision", "load_state_dict_file",
-    "load_pretrained_backbone",
+    "load_pretrained_backbone", "resnet_backbone_from_torch",
+    "mobilenet_backbone_from_torch",
 ]
 
 Array = np.ndarray
@@ -206,22 +207,135 @@ def _resnet_block_from_torch(sd: SD, prefix: str, bottleneck: bool):
 
 
 def resnet_from_torchvision(sd: SD, arch: str = "resnet18"):
-    """Map a torchvision resnet state_dict onto our ResNetBackbone's interior
-    stages (layer1..4 -> layer{s}_{i}). The stem (replaced by the
-    EfficientConvBlock, reference backbone.py:55-58) and the classifier head
-    (forced to 512-d, :61-71) are intentionally NOT mapped — they train from
-    scratch, like the reference's surgery on the torchvision model."""
+    """Map a torchvision resnet state_dict onto our ResNetBackbone: bn1 (the
+    reference's surgery keeps torchvision's bn1 after the replaced conv1,
+    backbone.py:63-65) and the interior stages (layer1..4 -> layer{s}_{i}).
+    The conv1 slot (replaced by the EfficientConvBlock) and the classifier
+    head (forced to 512-d, :66-71) are intentionally NOT mapped — they train
+    from scratch, like the reference's surgery on the torchvision model."""
     from ..nn.resnet import RESNET_SPECS
 
     spec = RESNET_SPECS[arch.lower()]
     bottleneck = spec["block"] == "bottleneck"
     params, stats = {}, {}
+    if "bn1.weight" in sd:
+        p, s = bn_from_torch(sd, "bn1")
+        params["bn1"] = p
+        stats["bn1"] = s
     for stage, n_blocks in enumerate(spec["layers"], start=1):
         for i in range(n_blocks):
             p, s = _resnet_block_from_torch(sd, f"layer{stage}.{i}",
                                             bottleneck)
             params[f"layer{stage}_{i}"] = p
             stats[f"layer{stage}_{i}"] = s
+    return params, stats
+
+
+def resnet_backbone_from_torch(sd: SD, arch: str = "resnet18"):
+    """Full post-surgery resnet (reference backbone.py:49-71: conv1 replaced
+    by an EfficientConvBlock, fc forced to 512-d/Identity) -> our
+    :class:`~pmoe_tpu.nn.resnet.ResNetBackbone` variables."""
+    params, stats = resnet_from_torchvision(sd, arch)
+    p, s = efficient_conv_block_from_torch(sd, "conv1")
+    params["stem"] = p
+    stats["stem"] = s
+    if "fc.weight" in sd and sd["fc.weight"].shape[0] == 512:
+        params["fc"] = linear_from_torch(sd, "fc")   # resnet50's 2048->512
+    return params, stats
+
+
+def _conv_bn_act_from_torch(sd: SD, conv_prefix: str, bn_prefix: str):
+    """torchvision ConvBNActivation -> our _ConvBNAct (auto-named Conv_0 /
+    BatchNorm_0)."""
+    params = {"Conv_0": conv_from_torch(sd, conv_prefix)}
+    p, s = bn_from_torch(sd, bn_prefix)
+    params["BatchNorm_0"] = p
+    return params, {"BatchNorm_0": s}
+
+
+def _se_from_torch(sd: SD, prefix: str) -> Dict[str, Array]:
+    """torchvision SqueezeExcitation (1x1 convs fc1/fc2) -> our _SqueezeExcite
+    (Dense_0/Dense_1): (out,in,1,1) conv kernels transpose to (in,out)."""
+    out = {}
+    for i, fc in enumerate(("fc1", "fc2")):
+        w = sd[f"{prefix}.{fc}.weight"][..., 0, 0]        # (out, in)
+        out[f"Dense_{i}"] = {"kernel": np.ascontiguousarray(w.T),
+                             "bias": np.asarray(sd[f"{prefix}.{fc}.bias"])}
+    return out
+
+
+def mobilenet_backbone_from_torch(sd: SD, arch: str = "mobilenet_v3_small"):
+    """Full post-surgery torchvision mobilenet (reference backbone.py:75-104:
+    features[0][0] replaced by an EfficientConvBlock, classifier forced to
+    512-d) -> our :class:`~pmoe_tpu.nn.mobilenet.MobileNetBackbone` variables.
+
+    torchvision naming (v0.9.x): v3 InvertedResidual.block is a Sequential of
+    ConvBNActivation(0=conv,1=bn,2=act) and SqueezeExcitation(fc1/fc2) in
+    order [expand?, depthwise, se?, project]; v2 InvertedResidual.conv is
+    [expand?, depthwise, project-conv, project-bn]."""
+    from ..nn.mobilenet import _V2_BLOCKS, _V3_LARGE_BLOCKS, _V3_SMALL_BLOCKS
+
+    arch = arch.lower()
+    params, stats = {}, {}
+    p, s = efficient_conv_block_from_torch(sd, "features.0.0")
+    params["stem"] = p
+    stats["stem"] = s
+    p, s = bn_from_torch(sd, "features.0.1")
+    params["stem_bn"] = p
+    stats["stem_bn"] = s
+
+    def put(name, p, s):
+        params.setdefault(bname, {})[name] = p
+        if s:
+            stats.setdefault(bname, {})[name] = s
+
+    if arch == "mobilenet_v2":
+        in_ch = 32
+        for i, (out_ch, t, stride) in enumerate(_V2_BLOCKS):
+            bname = f"block_{i}"
+            tv = f"features.{i + 1}.conv"
+            j = 0
+            if t != 1:                                  # expand stage exists
+                p, s = _conv_bn_act_from_torch(sd, f"{tv}.{j}.0", f"{tv}.{j}.1")
+                put("expand", p, s)
+                j += 1
+            p, s = _conv_bn_act_from_torch(sd, f"{tv}.{j}.0", f"{tv}.{j}.1")
+            put("depthwise", p, s)
+            p, s = _conv_bn_act_from_torch(sd, f"{tv}.{j + 1}", f"{tv}.{j + 2}")
+            put("project", p, s)
+            in_ch = out_ch
+        bname = "head_conv"
+        p, s = _conv_bn_act_from_torch(sd, "features.18.0", "features.18.1")
+        params["head_conv"], stats["head_conv"] = p, s
+        params["classifier"] = linear_from_torch(sd, "classifier")
+        return params, stats
+
+    blocks = _V3_LARGE_BLOCKS if arch == "mobilenet_v3_large" \
+        else _V3_SMALL_BLOCKS
+    in_ch = 16
+    for i, (k, exp, out_ch, se, act, stride) in enumerate(blocks):
+        bname = f"block_{i}"
+        tv = f"features.{i + 1}.block"
+        j = 0
+        if exp != in_ch:                                # expand stage exists
+            p, s = _conv_bn_act_from_torch(sd, f"{tv}.{j}.0", f"{tv}.{j}.1")
+            put("expand", p, s)
+            j += 1
+        p, s = _conv_bn_act_from_torch(sd, f"{tv}.{j}.0", f"{tv}.{j}.1")
+        put("depthwise", p, s)
+        j += 1
+        if se:
+            put("se", _se_from_torch(sd, f"{tv}.{j}"), None)
+            j += 1
+        p, s = _conv_bn_act_from_torch(sd, f"{tv}.{j}.0", f"{tv}.{j}.1")
+        put("project", p, s)
+        in_ch = out_ch
+    last = len(blocks) + 1
+    p, s = _conv_bn_act_from_torch(sd, f"features.{last}.0",
+                                   f"features.{last}.1")
+    params["head_conv"], stats["head_conv"] = p, s
+    params["pre_classifier"] = linear_from_torch(sd, "classifier.0")
+    params["classifier"] = linear_from_torch(sd, "classifier.3")
     return params, stats
 
 

@@ -219,3 +219,36 @@ def test_unet_eca_matches_reference(manifest):
                                atol=1e-4)
     np.testing.assert_allclose(nchw(np.asarray(logits)), rec["logits"],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_resnet18_backbone_matches_reference(manifest):
+    """Full post-surgery resnet18 (EfficientConvBlock stem composition of
+    reference backbone.py:49-71): recorded torch activations vs our
+    ResNetBackbone with converted weights. Covers the retained bn1+ReLU
+    after the replaced conv1 and the Identity fc."""
+    from pmoe_tpu.nn.resnet import ResNetBackbone
+
+    sd = state_dict_for(manifest["resnet18_backbone"])
+    params, stats = tc.resnet_backbone_from_torch(sd, "resnet18")
+    rec = load_outputs("resnet18_backbone")
+    m = ResNetBackbone(arch="resnet18", in_channels=12)
+    y = m.apply({"params": params, "batch_stats": stats}, nhwc(rec["x"]),
+                False)
+    assert y.shape == (2, 512)
+    np.testing.assert_allclose(np.asarray(y), rec["y"], rtol=5e-4, atol=5e-4)
+
+
+def test_mobilenet_v3s_backbone_matches_reference(manifest):
+    """Full post-surgery mobilenet_v3_small (reference backbone.py:75-104):
+    stem BN+Hardswish retention, RE/HS block activations, SqueezeExcitation,
+    eps=1e-3 BNs, 1024->512 classifier."""
+    from pmoe_tpu.nn.mobilenet import MobileNetBackbone
+
+    sd = state_dict_for(manifest["mobilenet_v3s_backbone"])
+    params, stats = tc.mobilenet_backbone_from_torch(sd, "mobilenet_v3_small")
+    rec = load_outputs("mobilenet_v3s_backbone")
+    m = MobileNetBackbone(arch="mobilenet_v3_small", in_channels=12)
+    y = m.apply({"params": params, "batch_stats": stats}, nhwc(rec["x"]),
+                False)
+    assert y.shape == (2, 512)
+    np.testing.assert_allclose(np.asarray(y), rec["y"], rtol=5e-4, atol=5e-4)

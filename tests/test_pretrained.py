@@ -48,7 +48,7 @@ def test_resnet_conversion_shapes():
     sd = _torchvision_resnet18_sd()
     params, stats = resnet_from_torchvision(sd, "resnet18")
     assert set(params) == {f"layer{s}_{i}" for s in range(1, 5)
-                           for i in range(2)}
+                           for i in range(2)} | {"bn1"}
     # kernel layout: (out, in, kh, kw) -> (kh, kw, in, out)
     np.testing.assert_allclose(
         params["layer2_0"]["conv1"]["kernel"],
@@ -57,7 +57,9 @@ def test_resnet_conversion_shapes():
     assert "downsample_conv" not in params["layer1_0"]
     np.testing.assert_allclose(stats["layer3_1"]["bn2"]["var"],
                                sd["layer3.1.bn2.running_var"])
-    # stem/fc intentionally unmapped (replaced in the reference's surgery)
+    # bn1 maps (the surgery keeps torchvision's bn1 after the replaced conv1);
+    # the conv1 slot and the 1000-class fc stay unmapped
+    np.testing.assert_allclose(stats["bn1"]["mean"], sd["bn1.running_mean"])
     assert "stem" not in params and "fc" not in params
 
 

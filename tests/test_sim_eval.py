@@ -1034,3 +1034,67 @@ def test_criteria_tree_finalize_runs_in_episode():
     run_episode(backend, agent, CriteriaTree([ir]), frame, max_ticks=5)
     assert ir.test_status == "FAILURE"
     backend.close()
+
+
+def test_q_collector_agent(tmp_path):
+    """QCollectorAgent (the reference q_collector's role, rebuilt — its
+    rails.* deps were never vendored): action values over the discretized
+    table favor route progress, the brake action wins when the path ahead is
+    blocked, and per-tick Q labels land in measurements."""
+    import json as _json
+
+    from pmoe_tpu.agents.collector_agent import QCollectorAgent, collect_episode
+
+    backend = FakeCarlaBackend(img_width=160, img_height=120, render_seg=True)
+    n = collect_episode(backend, str(tmp_path), "episode_000", max_ticks=30,
+                        agent_cls=QCollectorAgent, seed=1)
+    assert n > 0
+    meas_dir = tmp_path / "episode_000" / "measurements"
+    recs = [_json.loads(p.read_text()) for p in sorted(meas_dir.iterdir())]
+    A = 9 * 3 + 1                        # steer x throttle grid + brake
+    assert all(len(r["q_values"]) == A and len(r["actions"]) == A
+               for r in recs)
+    backend.close()
+
+    # unit-level Q semantics on synthetic birdviews
+    agent = QCollectorAgent({"out_dir": str(tmp_path), "episode": "ep_q"})
+    bv = np.zeros((192, 192, 12), np.uint8)
+    bv[:, 94:99, 2] = 255                # route straight ahead (heading up)
+    q_free = agent._action_values(bv, spd=4.0)
+    best = agent.actions[int(np.argmax(q_free))]
+    assert best[1] > 0 and best[2] == 0.0        # drive, don't brake
+    assert abs(best[0]) < 0.5                     # roughly straight
+    bv_blocked = bv.copy()
+    bv_blocked[120:138, 90:103, 3] = 255          # vehicle dead ahead
+    q_blocked = agent._action_values(bv_blocked, spd=4.0)
+    assert int(np.argmax(q_blocked)) == len(agent.actions) - 1   # brake wins
+
+
+def test_route_completion_srunner_semantics_on_self_intersection():
+    """RouteCompletionTest uses srunner's windowed per-waypoint index
+    accounting (atomic_criteria.py:1587): on a self-crossing route, standing
+    at the crossing point early on the first leg must NOT jump completion to
+    the later leg, and driving the route through yields monotone progress to
+    SUCCESS."""
+    from pmoe_tpu.eval.criteria import RouteCompletionTest
+    from pmoe_tpu.eval.route_parser import interpolate_route
+    from pmoe_tpu.sim.interface import EgoState
+
+    route = interpolate_route([(0.0, 0.0), (100.0, 0.0), (100.0, 30.0),
+                               (50.0, 30.0), (50.0, -30.0)])
+    rc = RouteCompletionTest(route)
+    # ego early on leg 1, exactly at the future crossing point (50, 0)
+    at_crossing = EgoState(x=50.0, y=0.0, yaw=0.0, speed=5.0)
+    for _ in range(5):
+        rc.update(at_crossing, _Frame)
+    assert rc.actual_value < 40.0          # leg-1 progress, no jump to ~75%
+    # now drive the whole route: progress is monotone and ends in SUCCESS
+    prev = 0.0
+    for i in range(0, len(route.positions), 2):
+        p = route.positions[i] + 0.2 * rc._fwd[i]    # just past waypoint i
+        rc.update(EgoState(x=float(p[0]), y=float(p[1]), yaw=0.0, speed=5.0),
+                  _Frame)
+        assert rc.actual_value >= prev - 1e-9
+        prev = rc.actual_value
+    rc.update(EgoState(x=50.0, y=-30.0, yaw=0.0, speed=0.0), _Frame)
+    assert rc.test_status == "SUCCESS" and rc.actual_value == 100.0

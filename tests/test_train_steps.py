@@ -35,6 +35,7 @@ def _dataset_cfg(root, **extra):
     return d
 
 
+@pytest.mark.heavy
 def test_stage0_one_epoch(synthetic_root_small, tmp_path):
     from pmoe_tpu.trainer.train_0 import Learner
 
@@ -54,6 +55,7 @@ def test_stage0_one_epoch(synthetic_root_small, tmp_path):
     assert "dice_Road" in val
 
 
+@pytest.mark.heavy
 def test_stage1_one_epoch_freezes_unet(synthetic_root_small, tmp_path):
     from pmoe_tpu.trainer.train_1 import Learner
 
@@ -90,6 +92,7 @@ def test_stage1_one_epoch_freezes_unet(synthetic_root_small, tmp_path):
     assert changed
 
 
+@pytest.mark.heavy
 def test_stage2_moe_one_epoch(synthetic_root, tmp_path, tiny_moe_cfg):
     from pmoe_tpu.trainer.train_2 import Learner
 
@@ -107,6 +110,7 @@ def test_stage2_moe_one_epoch(synthetic_root, tmp_path, tiny_moe_cfg):
     assert (tmp_path / "ckpt" / "MoE-best.ckpt").exists()
 
 
+@pytest.mark.heavy
 def test_stage3_one_episode(tmp_path, tiny_moe_cfg):
     """The stage-3 trainer loop end-to-end on the fake backend: env reset ->
     OU-noised sample -> remember -> jitted DDPG learn -> checkpoint. The

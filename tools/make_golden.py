@@ -180,8 +180,226 @@ def main() -> None:
                  log_prob=log_prob, moe_loss=np.float32(moe_l),
                  punet_loss=np.float32(punet_l), pmoe_loss=np.float32(pmoe_l))
 
+    # -- backbones (reference backbone.py surgery on torchvision models) -----
+    # torchvision is NOT in this environment, so the stock architectures are
+    # reconstructed below in torch with torchvision's exact parameter naming
+    # and eval semantics (resnet18 BasicBlock; mobilenet_v3_small
+    # InvertedResidual + SqueezeExcitation, BN eps=1e-3); the reference's
+    # surgery (EfficientConvBlock stem from the REAL reference basics.py,
+    # 512-d head) is then applied verbatim per backbone.py:49-104.
+    for tag, builder in (("resnet18_backbone", _build_resnet18_surgery),
+                         ("mobilenet_v3s_backbone", _build_mnv3s_surgery)):
+        m = builder().eval()
+        manifests[tag] = fill(m)
+        x = image_for(tag, (2, 12, 64, 64))
+        save_outputs(tag, x=x, y=m(torch.from_numpy(x)).numpy())
+
+    _record_aug_factors()
+
     save_manifest(manifests)
     print("golden fixtures written to tests/golden/")
+
+
+def _record_aug_factors():
+    """Record the reference curriculum-augmenter FACTOR SCHEDULES
+    (augmenter.py:79-612) into tests/golden/aug_factors.json.
+
+    imgaug is not installed in this environment, so a recording stub is
+    injected as ``imgaug.augmenters``: every op constructor captures its
+    (name, args, kwargs) and ``get_augmenter`` then returns the op tree with
+    the reference's computed factor values embedded — the transcription in
+    pmoe_tpu/ops/augment.py is tested against exactly these numbers."""
+    import importlib
+    import json
+    import sys
+    import types
+
+    class _Op:
+        def __init__(self, name, *a, **k):
+            self.name, self.args, self.kwargs = name, a, k
+
+    iaa = types.ModuleType("imgaug.augmenters")
+    for n in ("Sequential", "Sometimes", "GaussianBlur",
+              "AdditiveGaussianNoise", "CoarseDropout", "Dropout", "Add",
+              "Multiply", "LinearContrast", "Grayscale", "Fliplr", "Crop",
+              "SomeOf", "OneOf", "Sharpen", "Emboss", "AddToHueAndSaturation",
+              "PiecewiseAffine", "ContrastNormalization", "Affine",
+              "ElasticTransformation", "Pad", "CropAndPad"):
+        setattr(iaa, n, (lambda _n: lambda *a, **k: _Op(_n, *a, **k))(n))
+    pkg = types.ModuleType("imgaug")
+    pkg.augmenters = iaa
+    sys.modules["imgaug"] = pkg
+    sys.modules["imgaug.augmenters"] = iaa
+    augmenter = importlib.import_module("model.augmenter")
+
+    def jsonify(v):
+        if isinstance(v, _Op):
+            return {"op": v.name,
+                    "args": [jsonify(a) for a in v.args],
+                    "kwargs": {k: jsonify(x) for k, x in v.kwargs.items()}}
+        if isinstance(v, (list, tuple)):
+            return [jsonify(x) for x in v]
+        if isinstance(v, (int, float, str, bool)) or v is None:
+            return v
+        return repr(v)
+
+    bsz = 120
+    iterations = [0, 30000, 120000, 480000, 1920000, 7680000]
+    out = {"bsz": bsz, "iterations": iterations, "schedules": {}}
+    for aug_type in ("medium", "soft", "high", "medium_harder", "super_hard",
+                     "soft_harder", "custom"):
+        out["schedules"][aug_type] = [
+            jsonify(augmenter.get_augmenter(it, bsz, aug_type))
+            for it in iterations]
+    out["schedules"]["segmentation"] = [jsonify(augmenter.get_augmenter(
+        1, bsz, "segmentation"))]
+    path = REPO / "tests" / "golden" / "aug_factors.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(f"augmenter factor schedules -> {path}")
+
+
+def _build_resnet18_surgery():
+    """torchvision.models.resnet18 skeleton (exact naming/forward) with the
+    reference's surgery: conv1 -> EfficientConvBlock(12 -> 64), fc -> Identity
+    (backbone.py:49-71)."""
+    import torch.nn as nn
+    from model.blocks.basics import EfficientConvBlock
+
+    class BasicBlock(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idt)
+
+    class ResNet18(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = EfficientConvBlock(in_ch=12, out_ch=64, gamma=2, b=1)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            widths = (64, 128, 256, 512)
+            cin = 64
+            for s, w in enumerate(widths, start=1):
+                blocks = [BasicBlock(cin, w, stride=1 if s == 1 else 2),
+                          BasicBlock(w, w)]
+                setattr(self, f"layer{s}", nn.Sequential(*blocks))
+                cin = w
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Identity()
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for s in range(1, 5):
+                x = getattr(self, f"layer{s}")(x)
+            return self.fc(torch.flatten(self.avgpool(x), 1))
+
+    return ResNet18()
+
+
+def _build_mnv3s_surgery():
+    """torchvision.models.mobilenet_v3_small skeleton (0.9.x naming: blocks
+    of ConvBNActivation(conv,bn,act) + SqueezeExcitation(fc1,fc2), BN
+    eps=1e-3) with the reference's surgery: features[0][0] ->
+    EfficientConvBlock(12 -> 16), classifier[3] -> Linear(1024, 512)
+    (backbone.py:75-104)."""
+    import torch.nn as nn
+    from model.blocks.basics import EfficientConvBlock
+
+    def make_divisible(v, divisor=8):
+        nv = max(divisor, int(v + divisor / 2) // divisor * divisor)
+        return nv + divisor if nv < 0.9 * v else nv
+
+    def cba(cin, cout, k=3, stride=1, groups=1, act="RE"):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, groups=groups,
+                      bias=False),
+            nn.BatchNorm2d(cout, eps=0.001, momentum=0.01),
+            nn.Hardswish() if act == "HS" else nn.ReLU(inplace=True))
+
+    class SqueezeExcitation(nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            squeeze = make_divisible(ch // 4)
+            self.fc1 = nn.Conv2d(ch, squeeze, 1)
+            self.relu = nn.ReLU(inplace=True)
+            self.fc2 = nn.Conv2d(squeeze, ch, 1)
+
+        def forward(self, x):
+            s = nn.functional.adaptive_avg_pool2d(x, 1)
+            s = self.fc2(self.relu(self.fc1(s)))
+            return x * nn.functional.hardsigmoid(s)
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, cin, k, exp, cout, se, act, stride):
+            super().__init__()
+            layers = []
+            if exp != cin:
+                layers.append(cba(cin, exp, 1, act=act))
+            layers.append(cba(exp, exp, k, stride, groups=exp, act=act))
+            if se:
+                layers.append(SqueezeExcitation(exp))
+            layers.append(nn.Sequential(
+                nn.Conv2d(exp, cout, 1, bias=False),
+                nn.BatchNorm2d(cout, eps=0.001, momentum=0.01),
+                nn.Identity()))
+            self.block = nn.Sequential(*layers)
+            self.use_res = stride == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.use_res else y
+
+    # (cin, k, exp, cout, se, act, stride) — torchvision mobilenet_v3_small
+    conf = [
+        (16, 3, 16, 16, True, "RE", 2),
+        (16, 3, 72, 24, False, "RE", 2),
+        (24, 3, 88, 24, False, "RE", 1),
+        (24, 5, 96, 40, True, "HS", 2),
+        (40, 5, 240, 40, True, "HS", 1),
+        (40, 5, 240, 40, True, "HS", 1),
+        (40, 5, 120, 48, True, "HS", 1),
+        (48, 5, 144, 48, True, "HS", 1),
+        (48, 5, 288, 96, True, "HS", 2),
+        (96, 5, 576, 96, True, "HS", 1),
+        (96, 5, 576, 96, True, "HS", 1),
+    ]
+
+    class MNv3Small(nn.Module):
+        def __init__(self):
+            super().__init__()
+            stem = nn.Sequential(
+                EfficientConvBlock(in_ch=12, out_ch=16, gamma=2, b=1),
+                nn.BatchNorm2d(16, eps=0.001, momentum=0.01),
+                nn.Hardswish())
+            feats = [stem]
+            feats += [InvertedResidual(*c) for c in conf]
+            feats.append(cba(96, 576, 1, act="HS"))
+            self.features = nn.Sequential(*feats)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.classifier = nn.Sequential(
+                nn.Linear(576, 1024), nn.Hardswish(), nn.Dropout(0.2),
+                nn.Linear(1024, 512))
+
+        def forward(self, x):
+            x = self.features(x)
+            return self.classifier(torch.flatten(self.avgpool(x), 1))
+
+    return MNv3Small()
 
 
 if __name__ == "__main__":
