@@ -121,13 +121,17 @@ def _stage3_cfg(n_commands=4):
             "actor": actor, "critic": critic}
 
 
-def bench_stage3():
-    """DDPG learn steps/s + FLOPs/step (the north-star training metric)."""
+def bench_stage3(batch: int = BATCH3):
+    """DDPG learn steps/s + FLOPs/step (the north-star training metric).
+    ``batch=128`` gives the reference conf's replay batch point
+    (conf/stage_3.yaml:65 parity)."""
     n_commands = 4
     obs = (jnp.zeros((2, 4, 224, 224, 3), jnp.float32),
            jnp.zeros((2, 1), jnp.float32),
            jnp.zeros((2, n_commands), jnp.float32))
-    agent = Agent(_stage3_cfg(n_commands), obs, rng=jax.random.PRNGKey(0),
+    cfg3 = _stage3_cfg(n_commands)
+    cfg3 = dict(cfg3, batch_size=batch, buffer_size=batch + 8)
+    agent = Agent(cfg3, obs, rng=jax.random.PRNGKey(0),
                   dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -135,8 +139,8 @@ def bench_stage3():
     # tick), the closed-loop collection pattern — engages the device frame
     # pool (one 150 KB frame upload per tick, on-device window gather) and
     # the window-dedup fused trunk
-    frames = rng.integers(0, 255, (BATCH3 + 6, 224, 224, 3), np.uint8)
-    for i in range(BATCH3 + 1):
+    frames = rng.integers(0, 255, (batch + 6, 224, 224, 3), np.uint8)
+    for i in range(batch + 1):
         agent.remember(frames[i:i + 4], np.float32([1.0]),
                        np.eye(n_commands, dtype=np.float32)[0],
                        np.float32([0.1, 0.5]), np.float32(1.0),
@@ -167,7 +171,82 @@ def bench_stage3():
         flops = cost["flops"]
     except Exception:
         flops = -1.0
-    return steps_per_sec, flops + _scan_flops_correction(BATCH3)
+    return steps_per_sec, flops + _scan_flops_correction(batch)
+
+
+def bench_stage01():
+    """Stage-0 (segmentation U-Net, conf/stage_0.yaml bs 64) and stage-1
+    (PU-Net autoregressive rollout + BPTT, conf/stage_1.yaml bs 10) train
+    steps/s — completes the per-stage bench surface (VERDICT r1 #9)."""
+    from pmoe_tpu.models.punet import PredictiveUNet
+    from pmoe_tpu.nn.unet import UNet
+    from pmoe_tpu.trainer.losses import (autoregressive_loss,
+                                         cross_entropy_tversky_weighted_loss)
+
+    results = {}
+    # stage 0: UNet 3->23 @ 224, batch 64
+    B0 = 64
+    unet = UNet(in_features=3, out_features=23, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((B0, 224, 224, 3), jnp.float32)
+    m0 = jnp.zeros((B0, 224, 224), jnp.int32)
+    v0 = jit_init(unet, {"params": jax.random.PRNGKey(0)}, x0[:2], False)
+    tx0 = optax.adam(3e-4)
+    opt0 = tx0.init(v0["params"])
+
+    def step0(p, bs, opt, x, m):
+        def loss_fn(p):
+            logits, upd = unet.apply({"params": p, "batch_stats": bs}, x,
+                                     True, mutable=["batch_stats"])
+            return cross_entropy_tversky_weighted_loss(logits, m), upd
+        (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        u, opt = tx0.update(g, opt, p)
+        return optax.apply_updates(p, u), upd["batch_stats"], opt, l
+
+    jstep0 = jax.jit(step0, donate_argnums=(0, 1, 2))
+    p, bs = v0["params"], v0["batch_stats"]
+    p, bs, opt0, l = jstep0(p, bs, opt0, x0, m0)
+    _ = float(l)
+    best = 0.0
+    for _w in range(2):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            p, bs, opt0, l = jstep0(p, bs, opt0, x0, m0)
+        _ = float(l)
+        best = max(best, 5 / (time.perf_counter() - t0))
+    results["stage0_steps_per_sec"] = round(best, 3)
+
+    # stage 1: PU-Net rollout (4 past -> 6 future), batch 10
+    B1 = 10
+    pu = PredictiveUNet(past_frames=4, future_frames=6, dtype=jnp.bfloat16)
+    x1 = jnp.zeros((B1, 4, 224, 224, 3), jnp.float32)
+    m1 = jnp.zeros((B1, 6, 224, 224), jnp.int32)
+    v1 = jit_init(pu, {"params": jax.random.PRNGKey(0)}, x1[:1])
+    tx1 = optax.adam(3e-4)
+    trainable = v1["params"]
+    opt1 = tx1.init(trainable)
+
+    def step1(p, bs, opt, x, m):
+        def loss_fn(p):
+            outs, upd = pu.apply({"params": p, "batch_stats": bs}, x,
+                                 train=True, mutable=["batch_stats"])
+            return autoregressive_loss(outs, m, "l1"), upd
+        (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        u, opt = tx1.update(g, opt, p)
+        return optax.apply_updates(p, u), upd["batch_stats"], opt, l
+
+    jstep1 = jax.jit(step1, donate_argnums=(0, 1, 2))
+    p1, bs1 = v1["params"], v1["batch_stats"]
+    p1, bs1, opt1, l = jstep1(p1, bs1, opt1, x1, m1)
+    _ = float(l)
+    best = 0.0
+    for _w in range(2):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            p1, bs1, opt1, l = jstep1(p1, bs1, opt1, x1, m1)
+        _ = float(l)
+        best = max(best, 3 / (time.perf_counter() - t0))
+    results["stage1_steps_per_sec"] = round(best, 3)
+    return results
 
 
 def _scan_flops_correction(batch: int, future_frames: int = 6,
@@ -344,6 +423,8 @@ def main():
     loop_fps = bench_closed_loop_fps()
     s3_steps, s3_flops = bench_stage3()
     s3_mfu = (s3_flops * s3_steps / peak) if s3_flops > 0 else -1.0
+    s3b_steps, _ = bench_stage3(batch=128)   # conf/stage_3.yaml:65 parity
+    s01 = bench_stage01()
 
     print(json.dumps({
         "metric": "stage3_ddpg_train_steps_per_sec_per_chip",
@@ -357,6 +438,8 @@ def main():
             "stage2_mfu": round(s2_mfu, 4),
             "stage2_b128_steps_per_sec": round(s2b_steps, 3),
             "stage2_b128_mfu": round(s2b_mfu, 4),
+            "stage3_b128_steps_per_sec": round(s3b_steps, 3),
+            **s01,
             "p50_inference_latency_ms": round(p50_ms, 3),
             "device_roundtrip_ms": round(rtt_ms, 3),
             "closed_loop_fps": round(loop_fps, 1),
