@@ -1,13 +1,19 @@
 """Fused curriculum-augmentation Pallas kernel (TPU).
 
 The XLA op-by-op pipeline (ops/image_ops.py) is dominated not by bandwidth
-but by per-pixel threefry randomness: measured on v5e at (256, 224, 224, 3),
-additive noise alone costs 4.7 ms, pixel dropout 4.1 ms, coarse dropout
-6.4 ms — each ~20x the two-pass bandwidth bound — and the full super_hard
-chain ~14 ms/step. This kernel fuses noise + coarse dropout + pixel dropout
-+ add + multiply + contrast + grayscale into ONE pass over the image batch
-with the TPU hardware PRNG (`pltpu.prng_random_bits`), reading and writing
-each pixel once.
+but by per-pixel threefry randomness (isolated per-op timings on v5e at
+(256, 224, 224, 3): additive noise 4.7 ms, pixel dropout 4.1 ms, coarse
+dropout 6.4 ms — each ~20x the two-pass bandwidth bound). This kernel fuses
+noise + coarse dropout + pixel dropout + add + multiply + contrast +
+grayscale into ONE pass over the image batch with the TPU hardware PRNG
+(`pltpu.prng_random_bits`), reading and writing each pixel once.
+
+Measured end-to-end, the win is neutral: inside one jit program XLA fuses
+its chain aggressively, and both paths are VPU-bound on per-pixel random
+generation (full `augment` at (256,224,224,3): 13.2 ms fused vs 13.3 ms
+XLA; stage-2 b64 train step 233.5 vs 233.2 ms, paired A/B on v5e). The
+kernel is kept (single-pass memory profile, hardware PRNG instead of
+threefry state threading) but is not a throughput lever at these shapes.
 
 Division of labor (semantics match ops/image_ops.py):
 * per-image decisions — op gates (imgaug ``Sometimes``), magnitudes,
@@ -55,11 +61,17 @@ def pallas_aug_supported(b: int, hw: int) -> bool:
     return b % _ROWS == 0 and hw % 8 == 0 and jax.default_backend() == "tpu"
 
 
+def _u24_to_f32(bits_u32):
+    """Top-24-bit uint32 -> U[0,1) f32. Mosaic has no uint32->f32 cast, so
+    shift first (guaranteeing a non-negative value) and cast via int32."""
+    return (pltpu.bitcast(bits_u32 >> 8, jnp.int32).astype(jnp.float32)
+            * (1.0 / (1 << 24)))
+
+
 def _uniform(shape):
     """U[0,1) from the hardware PRNG (top 24 bits)."""
-    bits = pltpu.prng_random_bits(shape)
-    bits = pltpu.bitcast(bits, jnp.uint32) >> 8
-    return bits.astype(jnp.float32) * (1.0 / (1 << 24))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return _u24_to_f32(bits)
 
 
 def _normal(shape):
@@ -77,7 +89,7 @@ def _wang_hash_uniform(x):
     x = x ^ (x >> 4)
     x = x * jnp.uint32(0x27D4EB2D)
     x = x ^ (x >> 15)
-    return (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return _u24_to_f32(x)
 
 
 def _aug_kernel(seed_ref, params_ref, r_ref, g_ref, b_ref,

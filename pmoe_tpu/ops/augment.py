@@ -150,8 +150,11 @@ def augment(rng: jax.Array, images: jnp.ndarray, image_iteration,
 
     # Fused Pallas chain for everything after the blur (TPU default): one
     # pass over the batch with the hardware PRNG instead of ~6 threefry-bound
-    # XLA ops — measured 13.9 ms -> ~1 ms at (256,224,224,3) on v5e.
-    # PMOE_FUSED_AUG=0 restores the op-by-op XLA path.
+    # XLA ops. Measured on v5e it is parity with XLA's fused chain (13.2 vs
+    # 13.3 ms at (256,224,224,3); stage-2 b64 step 233.5 vs 233.2 ms) — both
+    # are VPU-bound on per-pixel randomness, and XLA fuses its chain well.
+    # Kept as default for the single-pass memory profile; PMOE_FUSED_AUG=0
+    # restores the op-by-op XLA path.
     import os
 
     from .aug_pallas import fused_augment_chain, pallas_aug_supported
