@@ -11,16 +11,210 @@ reference's behavior and is preserved.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as nn
 
-from .blocks import EfficientConvBlock
+from .blocks import EfficientConvBlock, eca_kernel_size
 
-__all__ = ["ResNetBackbone", "RESNET_SPECS"]
+__all__ = ["ResNetBackbone", "RESNET_SPECS", "pack_conv_kernel_w2"]
 
 Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# W-pair-packed stem (TPU fast path)
+#
+# Measured on v5e: a 3x3 stride-1 conv at (192,224,224,64) runs at 54 TF/s,
+# while the same conv with 128 channels runs at 164 TF/s — the 64-channel
+# (and 12-channel) activations pad their lane dimension to 128, wasting half
+# of every vector register, half of HBM bandwidth, and half of the MXU's K/N
+# tiles. The stem (reference-mandated stride-1 EfficientConvBlock at 224^2,
+# backbone.py:63-65) dominates the stage-2 step at <10% MFU because of it.
+#
+# Fix: fold adjacent W-pixel pairs into the channel dimension —
+# x_p[b,h,w2,r*C+c] = x[b,h,2*w2+r,c] (a free reshape: W and C are adjacent
+# in NHWC). A 3x3 conv on the original tensor becomes a 3x3 conv on the
+# packed tensor with a block-structured (2C -> 2Cout) kernel (6 of 12 blocks
+# nonzero, i.e. 2x the MACs) that XLA runs at ~3x the throughput; every
+# BatchNorm / ReLU / ECA pass moves half the bytes. The transform is exact:
+# BN statistics fold across the two halves (equal pixel counts), the ECA
+# mean folds the same way, and the 3x3/2 maxpool consumes the packing
+# naturally (its W-window spans exactly the two halves plus one neighbor).
+#
+# Parameters are IDENTICAL to the unpacked path: the shell modules below
+# declare the same param/collection tree (stem/{eca_i,conv_i,bn_i}, bn1) with
+# the same initializers, so checkpoints are interchangeable and goldens
+# validate both paths.
+# ---------------------------------------------------------------------------
+
+
+def pack_conv_kernel_w2(w: jnp.ndarray) -> jnp.ndarray:
+    """(kh, 3, C, Co) 3x3 kernel -> (kh, 3, 2C, 2Co) W-pair-packed kernel.
+
+    Packed channel index is ``parity * C + c``. Output column pair
+    (w=2*w2, w=2*w2+1) is produced from packed columns w2-1, w2, w2+1:
+    taps kw=-1,0,+1 of output parity r land on input parity (r+kw) mod 2 at
+    packed offset (r + kw - r') / 2.
+    """
+    kh, kw, C, Co = w.shape
+    assert kw == 3
+    wp = jnp.zeros((kh, 3, 2 * C, 2 * Co), w.dtype)
+    wp = wp.at[:, 0, C:, :Co].set(w[:, 0])      # kw=-1 -> (r'=1, kw2=-1)
+    wp = wp.at[:, 1, :C, :Co].set(w[:, 1])      # kw=0  -> (r'=0, kw2=0)
+    wp = wp.at[:, 1, C:, :Co].set(w[:, 2])      # kw=+1 -> (r'=1, kw2=0)
+    wp = wp.at[:, 1, :C, Co:].set(w[:, 0])      # r=1, kw=-1
+    wp = wp.at[:, 1, C:, Co:].set(w[:, 1])      # r=1, kw=0
+    wp = wp.at[:, 2, :C, Co:].set(w[:, 2])      # r=1, kw=+1
+    return wp
+
+
+class _PackedConv3(nn.Module):
+    """Bias-free 3x3 stride-1 conv on a W-pair-packed tensor. Declares the
+    canonical (3,3,C,Co) ``kernel`` param (same path/init as ``nn.Conv``)."""
+
+    in_channels: int
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_channels, self.features),
+                       self.param_dtype)
+        wp = pack_conv_kernel_w2(w).astype(self.dtype)
+        return lax.conv_general_dilated(
+            xp.astype(self.dtype), wp, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _PackedBN(nn.Module):
+    """BatchNorm on a W-pair-packed tensor with canonical (C,) params/stats.
+
+    Replicates flax ``nn.BatchNorm`` numerics (momentum 0.9, eps 1e-5,
+    fast-variance, f32 stats): packed-half means fold exactly because both
+    halves hold the same number of pixels."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        C = self.features
+        scale = self.param("scale", nn.initializers.ones, (C,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (C,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (C,))
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = xp.astype(jnp.promote_types(xp.dtype, jnp.float32))
+            mu_p = jnp.mean(xf, axis=(0, 1, 2))
+            mu2_p = jnp.mean(xf * xf, axis=(0, 1, 2))
+            mean = 0.5 * (mu_p[:C] + mu_p[C:])
+            mu2 = 0.5 * (mu2_p[:C] + mu2_p[C:])
+            var = jnp.maximum(0.0, mu2 - mean * mean)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        mean2 = jnp.concatenate([mean, mean])
+        mul = lax.rsqrt(jnp.concatenate([var, var]) + 1e-5)
+        mul = mul * jnp.concatenate([scale, scale]).astype(jnp.float32)
+        y = (xp - mean2) * mul
+        y = y + jnp.concatenate([bias, bias]).astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class _PackedECA(nn.Module):
+    """ECA gate on a W-pair-packed tensor; canonical ``conv_kernel`` param."""
+
+    channels: int
+    gamma: int = 2
+    b: int = 1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        C = self.channels
+        k = eca_kernel_size(C, self.gamma, self.b)
+        w = self.param("conv_kernel", nn.initializers.lecun_normal(),
+                       (k, 1, 1), self.param_dtype)
+        m_p = jnp.mean(xp.astype(jnp.promote_types(xp.dtype, jnp.float32)),
+                       axis=(1, 2))                              # (B, 2C)
+        y = (0.5 * (m_p[:, :C] + m_p[:, C:])).astype(self.dtype)
+        y = lax.conv_general_dilated(
+            y[:, :, None], w.astype(self.dtype), (1,),
+            [(k // 2, k // 2)], dimension_numbers=("NWC", "WIO", "NWC"))
+        gate = nn.sigmoid(y)[..., 0]                              # (B, C)
+        g2 = jnp.concatenate([gate, gate], axis=-1)
+        return xp * g2[:, None, None, :].astype(xp.dtype)
+
+
+class _PackedStem(nn.Module):
+    """W-pair-packed EfficientConvBlock (param tree identical to the
+    unpacked ``EfficientConvBlock``; reference basics.py:79-134)."""
+
+    in_channels: int
+    out_channels: int
+    gamma: int = 2
+    b: int = 1
+    hidden: int = 64
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        for i, (c_in, c_out) in enumerate(
+            [(self.in_channels, self.hidden),
+             (self.hidden, self.out_channels)]
+        ):
+            xp = _PackedECA(c_in, self.gamma, self.b, name=f"eca_{i}",
+                            **kw)(xp)
+            xp = _PackedConv3(c_in, c_out, name=f"conv_{i}", **kw)(xp)
+            xp = _PackedBN(c_out, name=f"bn_{i}", **kw)(xp, train)
+            xp = nn.relu(xp)
+        return xp
+
+
+def _packed_maxpool_3x3s2(xp: jnp.ndarray, C: int) -> jnp.ndarray:
+    """3x3 stride-2 pad-1 maxpool consuming a W-pair-packed tensor.
+
+    Output column w' spans original columns 2w'-1, 2w', 2w'+1 — i.e. packed
+    (w'-1, parity 1), (w', parity 0), (w', parity 1) — so the result is
+    naturally unpacked: (B, H, W2, 2C) -> (B, H//2, W2, C)."""
+    r0, r1 = xp[..., :C], xp[..., C:]
+    left_r1 = jnp.pad(r1[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)),
+                      constant_values=-jnp.inf)
+    wmax = jnp.maximum(jnp.maximum(left_r1, r0), r1)
+    # NB: init MUST be the -inf scalar literal — a concrete array init falls
+    # off lax.reduce_window's monoid fast path onto the generic primitive,
+    # which has no transpose rule (reverse-mode autodiff fails at trace).
+    return lax.reduce_window(
+        wmax, -jnp.inf, lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
+        ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def _use_packed_stem(flag, width: int) -> bool:
+    """Resolve the packed-stem switch: explicit config beats the
+    PMOE_PACKED_STEM env var beats auto (on for TPU backends)."""
+    if flag is None:
+        flag = os.environ.get("PMOE_PACKED_STEM", "auto")
+    if isinstance(flag, str):
+        flag = (jax.default_backend() == "tpu") if flag == "auto" \
+            else flag not in ("0", "false", "False")
+    return bool(flag) and width % 2 == 0
 
 RESNET_SPECS = {
     "resnet18": {"block": "basic", "layers": (2, 2, 2, 2), "width": 512},
@@ -91,6 +285,7 @@ class ResNetBackbone(nn.Module):
     gamma: int = 2
     b: int = 1
     out_dim: int = 512
+    packed_stem: Any = None        # None=auto (PMOE_PACKED_STEM / TPU)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -103,11 +298,21 @@ class ResNetBackbone(nn.Module):
         # Stem: ECA conv entry fusing stacked frames (stride 1). The reference
         # replaces ONLY torchvision's conv1 (backbone.py:63-65), so the
         # original bn1 + ReLU still run after it, then maxpool.
-        x = EfficientConvBlock(self.in_channels, 64, gamma=self.gamma,
-                               b=self.b, name="stem", **kw)(x, train)
-        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, name="bn1", **kw)(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if _use_packed_stem(self.packed_stem, x.shape[2]):
+            B, H, W, Cin = x.shape
+            xp = x.reshape(B, H, W // 2, 2 * Cin)      # free: W,C adjacent
+            xp = _PackedStem(self.in_channels, 64, gamma=self.gamma,
+                             b=self.b, name="stem", **kw)(xp, train)
+            xp = nn.relu(_PackedBN(64, name="bn1", **kw)(xp, train))
+            x = _packed_maxpool_3x3s2(xp, 64)
+        else:
+            x = EfficientConvBlock(self.in_channels, 64, gamma=self.gamma,
+                                   b=self.b, name="stem", **kw)(x, train)
+            x = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-5, name="bn1",
+                                     **kw)(x))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
         for stage, (w, n_blocks) in enumerate(zip(widths, spec["layers"])):

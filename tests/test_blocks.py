@@ -99,3 +99,171 @@ def test_unet_odd_spatial_size():
     x = jnp.ones((1, 36, 44, 3))
     v = m.init(jax.random.PRNGKey(0), x, False)
     assert m.apply(v, x, False).shape == (1, 36, 44, 23)
+
+
+# ---------------------------------------------------------------------------
+# W-pair-packed stem (TPU fast path) — exactness vs the canonical path
+# ---------------------------------------------------------------------------
+
+def _resnet_pair(packed):
+    from pmoe_tpu.nn.resnet import ResNetBackbone
+    return ResNetBackbone(arch="resnet18", in_channels=6,
+                          packed_stem=packed)
+
+
+def test_packed_stem_param_tree_identical():
+    import jax
+    x = jnp.ones((2, 16, 16, 6), jnp.float32)
+    v0 = _resnet_pair(False).init(jax.random.PRNGKey(3), x, True)
+    v1 = _resnet_pair(True).init(jax.random.PRNGKey(3), x, True)
+    flat0 = jax.tree_util.tree_leaves_with_path(v0)
+    flat1 = jax.tree_util.tree_leaves_with_path(v1)
+    assert [p for p, _ in flat0] == [p for p, _ in flat1]
+    for (p, a), (_, b) in zip(flat0, flat1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(p))
+
+
+def test_packed_stem_path_exact():
+    """Stem branch alone (ECA-conv-BN x2 + bn1 + maxpool), packed vs
+    canonical, shared params — tight tolerance. This is where the packing
+    transform lives; the exactness claim is pinned here, free of the
+    downstream train-BN amplification that makes whole-model comparison
+    loose (see test below)."""
+    import jax
+    import flax.linen as fnn
+    from pmoe_tpu.nn.blocks import EfficientConvBlock
+    from pmoe_tpu.nn.resnet import (_PackedBN, _PackedStem,
+                                    _packed_maxpool_3x3s2)
+
+    class Ref(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train):
+            x = EfficientConvBlock(6, 64, name="stem")(x, train)
+            x = fnn.relu(fnn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       name="bn1")(x))
+            return fnn.max_pool(x, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)))
+
+    class Pk(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train):
+            B, H, W, C = x.shape
+            xp = x.reshape(B, H, W // 2, 2 * C)
+            xp = _PackedStem(6, 64, name="stem")(xp, train)
+            xp = fnn.relu(_PackedBN(64, name="bn1")(xp, train))
+            return _packed_maxpool_3x3s2(xp, 64)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 20, 6), jnp.float32)
+    v = Ref().init(jax.random.PRNGKey(1), x, True)
+    for train in (False, True):
+        if train:
+            (y0, u0) = Ref().apply(v, x, True, mutable=["batch_stats"])
+            (y1, u1) = Pk().apply(v, x, True, mutable=["batch_stats"])
+            s0 = jax.tree_util.tree_leaves_with_path(u0["batch_stats"])
+            s1 = dict(jax.tree_util.tree_leaves_with_path(u1["batch_stats"]))
+            for p, a in s0:
+                np.testing.assert_allclose(np.asarray(a),
+                                           np.asarray(s1[p]),
+                                           rtol=1e-5, atol=1e-6,
+                                           err_msg=str(p))
+        else:
+            y0 = Ref().apply(v, x, False)
+            y1 = Pk().apply(v, x, False)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-5)
+
+    # Gradients through the packed transform (train mode). Two caveats make
+    # the naive post-pool sum-of-squares loss non-comparable at fp level:
+    # (1) max-pool windows after ReLU are full of tied zeros, and the packed
+    # pool decomposition picks a different (equally valid) subgradient
+    # element at ties than XLA's fused reduce_window grad; (2) the train-mode
+    # bn1 downstream of the stem normalizes away the stem's bn_1.scale, so
+    # that leaf's gradient is a tiny residual of canceling O(100) terms
+    # (measured ~0.04 vs ~175 for its bias) and fp noise dominates it
+    # relatively. So: tap the loss pre-pool, and add a pre-bn1 tap that
+    # restores a well-conditioned contribution to every stem leaf. The
+    # packing transform itself (conv/BN/ECA) is covered exactly.
+    class RefPre(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train):
+            x = EfficientConvBlock(6, 64, name="stem")(x, train)
+            y = fnn.relu(fnn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       name="bn1")(x))
+            return jnp.sum(x ** 2) + jnp.sum(y ** 2)
+
+    class PkPre(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train):
+            B, H, W, C = x.shape
+            xp = x.reshape(B, H, W // 2, 2 * C)
+            xp = _PackedStem(6, 64, name="stem")(xp, train)
+            yp = fnn.relu(_PackedBN(64, name="bn1")(xp, train))
+            return jnp.sum(xp ** 2) + jnp.sum(yp ** 2)
+
+    def loss(params, mod):
+        out, _ = mod.apply({"params": params,
+                            "batch_stats": v["batch_stats"]}, x, True,
+                           mutable=["batch_stats"])
+        return out
+
+    g0 = jax.grad(loss)(v["params"], RefPre())
+    g1 = jax.grad(loss)(v["params"], PkPre())
+    for (p, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.maximum(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale,
+                                   rtol=0, atol=1e-4, err_msg=str(p))
+
+
+def test_packed_stem_matches_unpacked_forward_and_grads():
+    """Whole-backbone parity. The math is exact (test above) but rounding
+    differs per-element between the two conv schedules; with train-mode
+    BatchNorms at every stage the normalization re-amplifies those ulp-level
+    diffs, so the whole-model tolerance is necessarily looser. Spatial size
+    48 keeps the last stage at 3x3 (no degenerate 1x1 batch stats)."""
+    import jax
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 48, 48, 6), jnp.float32)
+    ref, pk = _resnet_pair(False), _resnet_pair(True)
+    v = ref.init(jax.random.PRNGKey(1), x, True)
+
+    # eval forward (running stats: no amplification)
+    y0 = ref.apply(v, x, False)
+    y1 = pk.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+
+    # train forward + batch_stats updates
+    y0, u0 = ref.apply(v, x, True, mutable=["batch_stats"])
+    y1, u1 = pk.apply(v, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-2, atol=1e-3)
+    l0 = jax.tree_util.tree_leaves_with_path(u0["batch_stats"])
+    l1 = dict(jax.tree_util.tree_leaves_with_path(u1["batch_stats"]))
+    for p, a in l0:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(l1[p]),
+                                   rtol=1e-3, atol=1e-4, err_msg=str(p))
+
+    # Gradients through the eval-mode forward (running stats). Train-mode
+    # grad parity is pinned by test_packed_stem_path_exact; here, with 8
+    # train-BNs downstream of the stem, a stem BN-scale gradient is a
+    # cancellation residual (BN normalizes away upstream scale) and fp noise
+    # dominates it relatively — eval mode has no such cancellation, so this
+    # checks the packed backward through the real model wiring tightly.
+    def loss(params, mod):
+        y = mod.apply({"params": params,
+                       "batch_stats": v["batch_stats"]}, x, False)
+        return jnp.mean(y ** 2)
+
+    g0 = jax.grad(loss)(v["params"], ref)
+    g1 = jax.grad(loss)(v["params"], pk)
+    for (p, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.maximum(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale,
+                                   rtol=0, atol=1e-3, err_msg=str(p))

@@ -91,6 +91,68 @@ def time_variant(name, model, B, *, steps=10, **kw):
     return dt
 
 
+def ab_packed_stem(B: int = 64, windows: int = 5, steps: int = 10):
+    """Paired interleaved A/B of the stage-2 train step with the canonical
+    vs the W-pair-packed ResNet stem (pmoe_tpu/nn/resnet.py). Both variants
+    are compiled up front, then timed in alternating windows so relay-load
+    drift hits both equally; the per-window ratio is the signal."""
+    import os
+
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((B, 4, 224, 224, 3), jnp.uint8)
+    spd = jnp.zeros((B, 1), jnp.float32)
+    cmd = jnp.zeros((B, 6), jnp.float32)
+    ctl = jnp.zeros((B, 2), jnp.float32)
+    cfg = bench._moe_cfg()
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
+
+    state, steps_fn, flops = {}, {}, {}
+    for label, flag in (("unpacked", "0"), ("packed", "1")):
+        os.environ["PMOE_PACKED_STEM"] = flag
+        model = get_model(cfg, dtype=jnp.bfloat16)
+        v = jit_init(model, {"params": rng}, img[:2].astype(jnp.float32),
+                     spd[:2], cmd[:2])
+        params, bs = v["params"], v.get("batch_stats", {})
+        opt = tx.init(params)
+        fn = make_step(model, tx, B)
+        try:
+            flops[label] = op_counter(fn, params, bs, opt, img, spd, cmd,
+                                      ctl, rng)["flops"]
+        except Exception:
+            flops[label] = -1.0
+        step = jax.jit(fn, donate_argnums=(0, 1, 2))
+        params, bs, opt, loss = step(params, bs, opt, img, spd, cmd, ctl, rng)
+        _ = float(loss)                          # compile barrier
+        state[label] = (params, bs, opt)
+        steps_fn[label] = step
+    os.environ.pop("PMOE_PACKED_STEM", None)
+
+    times = {"unpacked": [], "packed": []}
+    for w in range(windows):
+        for label in ("unpacked", "packed"):
+            params, bs, opt = state[label]
+            step = steps_fn[label]
+            t0 = time.perf_counter()
+            for i in range(steps):
+                params, bs, opt, loss = step(
+                    params, bs, opt, img, spd, cmd, ctl,
+                    jax.random.fold_in(rng, 100 * w + i))
+            _ = float(loss)
+            times[label].append((time.perf_counter() - t0) / steps)
+            state[label] = (params, bs, opt)
+    for label in ("unpacked", "packed"):
+        best = min(times[label])
+        f = flops[label]
+        mfu = f / best / 197e12 if f > 0 else -1
+        print(f"{label:10s} best {best * 1e3:7.1f} ms/step "
+              f"({1 / best:.3f} steps/s)  {f / 1e12:6.2f} TF  MFU={mfu:.3f}  "
+              f"windows={[round(t * 1e3, 1) for t in times[label]]}",
+              flush=True)
+    ratios = [u / p for u, p in zip(times["unpacked"], times["packed"])]
+    print(f"paired speedup (unpacked/packed) per window: "
+          f"{[round(r, 3) for r in ratios]}  median={np.median(ratios):.3f}")
+
+
 def stage3_decomposition():
     """Component timings of the stage-3 DDPG learn step (the round-4
     analysis that exposed the replay-upload gap): trunk_pair at 2B, critic
@@ -165,10 +227,15 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--stage3", action="store_true",
                     help="decompose the stage-3 DDPG learn step instead")
+    ap.add_argument("--ab-stem", action="store_true",
+                    help="paired A/B: canonical vs W-pair-packed stem")
     args = ap.parse_args()
     bench.health_check()
     if args.stage3:
         stage3_decomposition()
+        return
+    if args.ab_stem:
+        ab_packed_stem(args.batch)
         return
     B = args.batch
     cfg = bench._moe_cfg()
