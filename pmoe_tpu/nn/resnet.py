@@ -198,12 +198,89 @@ def _packed_maxpool_3x3s2(xp: jnp.ndarray, C: int) -> jnp.ndarray:
     left_r1 = jnp.pad(r1[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)),
                       constant_values=-jnp.inf)
     wmax = jnp.maximum(jnp.maximum(left_r1, r0), r1)
-    # NB: init MUST be the -inf scalar literal — a concrete array init falls
-    # off lax.reduce_window's monoid fast path onto the generic primitive,
-    # which has no transpose rule (reverse-mode autodiff fails at trace).
+    # H window 3 / stride 2 / pad 1. Measured (stage-2 step, v5e): strided
+    # H-slices + elementwise max looked cheaper on paper but regressed the
+    # step 224.7 -> 267.5 ms; reduce_window wins. NB: init MUST be the -inf
+    # scalar literal — a concrete array init falls off the monoid fast path
+    # onto the generic primitive, which has no transpose rule.
     return lax.reduce_window(
         wmax, -jnp.inf, lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
         ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+class _PackedBasicBlock(nn.Module):
+    """Stride-1 BasicBlock on a W-pair-packed tensor (param tree identical
+    to ``_BasicBlock``). Used for layer1 (64 channels: half-empty lanes
+    unpacked), where input/output shapes match so there is no downsample."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        C = self.features
+        y = _PackedConv3(C, C, name="conv1", **kw)(xp)
+        y = nn.relu(_PackedBN(C, name="bn1", **kw)(y, train))
+        y = _PackedConv3(C, C, name="conv2", **kw)(y)
+        y = _PackedBN(C, name="bn2", **kw)(y, train)
+        return nn.relu(y + xp)
+
+
+class _PackedConsumeConv3s2(nn.Module):
+    """3x3 stride-2 conv that CONSUMES a W-pair-packed input and emits the
+    canonical layout. Output col w' reads orig cols 2w'-1..2w'+1 = packed
+    (w'-1, parity 1), (w', parity 0), (w', parity 1): a 2-tap conv over W2
+    with a (kh, 2, 2C, Co) block kernel; H strides 2 normally. Declares the
+    canonical (3, 3, C, Co) ``kernel`` param."""
+
+    in_channels: int
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        C, Co = self.in_channels, self.features
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, C, Co), self.param_dtype)
+        wp = jnp.zeros((3, 2, 2 * C, Co), w.dtype)
+        wp = wp.at[:, 0, C:, :].set(w[:, 0])      # kw=-1 -> (w'-1, parity 1)
+        wp = wp.at[:, 1, :C, :].set(w[:, 1])      # kw=0  -> (w',  parity 0)
+        wp = wp.at[:, 1, C:, :].set(w[:, 2])      # kw=+1 -> (w',  parity 1)
+        return lax.conv_general_dilated(
+            xp.astype(self.dtype), wp.astype(self.dtype), (2, 1),
+            [(1, 1), (1, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _PackedEntryBasicBlock(nn.Module):
+    """The stride-2 BasicBlock at a packed->canonical transition (layer2_0):
+    conv1 and the 1x1 downsample consume the packing (a 1x1 stride-2 conv
+    reads only parity-0 columns, i.e. the r0 half), everything downstream is
+    canonical. Param tree identical to ``_BasicBlock`` with stride 2."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       name=name, **kw)
+        C = xp.shape[-1] // 2
+        y = _PackedConsumeConv3s2(C, self.features, name="conv1", **kw)(xp)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    name="conv2", **kw)(y)
+        y = bn("bn2")(y)
+        residual = nn.Conv(self.features, (1, 1), strides=(2, 1),
+                           use_bias=False, name="downsample_conv",
+                           **kw)(xp[..., :C])
+        residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual)
 
 
 def _use_packed_stem(flag, width: int) -> bool:
@@ -298,6 +375,7 @@ class ResNetBackbone(nn.Module):
         # Stem: ECA conv entry fusing stacked frames (stride 1). The reference
         # replaces ONLY torchvision's conv1 (backbone.py:63-65), so the
         # original bn1 + ReLU still run after it, then maxpool.
+        packed_layer1 = False
         if _use_packed_stem(self.packed_stem, x.shape[2]):
             B, H, W, Cin = x.shape
             xp = x.reshape(B, H, W // 2, 2 * Cin)      # free: W,C adjacent
@@ -305,6 +383,13 @@ class ResNetBackbone(nn.Module):
                              b=self.b, name="stem", **kw)(xp, train)
             xp = nn.relu(_PackedBN(64, name="bn1", **kw)(xp, train))
             x = _packed_maxpool_3x3s2(xp, 64)
+            # Stay packed through layer1 (64 channels = half-empty lanes
+            # unpacked) when the pooled width still splits evenly; the
+            # repack is a free reshape (W, C adjacent).
+            packed_layer1 = spec["block"] == "basic" and x.shape[2] % 2 == 0
+            if packed_layer1:
+                Bp, Hp, Wp, Cp = x.shape
+                x = x.reshape(Bp, Hp, Wp // 2, 2 * Cp)
         else:
             x = EfficientConvBlock(self.in_channels, 64, gamma=self.gamma,
                                    b=self.b, name="stem", **kw)(x, train)
@@ -318,8 +403,14 @@ class ResNetBackbone(nn.Module):
         for stage, (w, n_blocks) in enumerate(zip(widths, spec["layers"])):
             for i in range(n_blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
-                x = block_cls(w, stride=stride,
-                              name=f"layer{stage + 1}_{i}", **kw)(x, train)
+                name = f"layer{stage + 1}_{i}"
+                if packed_layer1 and stage == 0:
+                    x = _PackedBasicBlock(w, name=name, **kw)(x, train)
+                elif packed_layer1 and stage == 1 and i == 0:
+                    # stride-2 entry consumes the packing -> canonical
+                    x = _PackedEntryBasicBlock(w, name=name, **kw)(x, train)
+                else:
+                    x = block_cls(w, stride=stride, name=name, **kw)(x, train)
 
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
         if spec["width"] != self.out_dim:

@@ -62,7 +62,7 @@ def main():
         return
     xplane = max(xplanes, key=os.path.getmtime)
     print("xplane:", xplane)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    from xprof.convert import raw_to_tool_data as rtd
     data, _ = rtd.xspace_to_tool_data([xplane], "hlo_stats", {})
     import gzip
     import json
