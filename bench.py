@@ -162,15 +162,25 @@ def bench_stage3(batch: int = BATCH3):
         steps_per_sec = max(steps_per_sec,
                             n_steps / (time.perf_counter() - t0))
 
-    batch = agent._stage_batch()                   # count the executed path
-    if "frame_start" in batch:
-        batch = dict(batch, frame_pool=agent._pool)
+    staged = agent._stage_batch()                  # count the executed path
+    if "frame_start" in staged:
+        staged = dict(staged, frame_pool=agent._pool)
     try:
-        cost = op_counter(agent._learn_step, agent.state, batch,
-                          jax.random.PRNGKey(1))
-        flops = cost["flops"]
+        # honest FLOPs: re-trace the learn step with the W-pair packing off
+        # (the packed stem/layer1 does 2x structural-zero MACs; counting
+        # them would inflate MFU — see bench_stage2)
+        import os as _os
+        _os.environ["PMOE_PACKED_STEM"] = "0"
+        try:
+            cost = op_counter(agent._learn_step, agent.state, staged,
+                              jax.random.PRNGKey(1))
+            flops = cost["flops"]
+        finally:
+            _os.environ.pop("PMOE_PACKED_STEM", None)
     except Exception:
         flops = -1.0
+    # NB: pass the int batch size — an earlier revision shadowed it with the
+    # staged dict, which made _scan_flops_correction silently return 0
     return steps_per_sec, flops + _scan_flops_correction(batch)
 
 
@@ -273,6 +283,11 @@ def _scan_flops_correction(batch: int, future_frames: int = 6,
 
 
 def bench_stage2(batch: int = BATCH2):
+    """Times the production model (packed stem/layer1 + fused Pallas pool on
+    TPU) but counts FLOPs on the canonical unpacked graph: the W-pair
+    packing trades 2x structural-zero stem/layer1 MACs for ~3x MXU
+    efficiency, and counting those zeros would inflate MFU. The reported
+    MFU is honest reference-semantics FLOPs / measured time."""
     model = get_model(_moe_cfg(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     img_u8 = jnp.zeros((batch, 4, 224, 224, 3), jnp.uint8)
@@ -304,9 +319,36 @@ def bench_stage2(batch: int = BATCH2):
         return params, updates["batch_stats"], opt_state, loss
 
     try:
-        cost = op_counter(train_step, params, batch_stats, opt_state, img_u8,
-                          spd, cmd, control, rng, 0.0)
-        flops = cost["flops"]
+        # count on the canonical graph (same params; see docstring)
+        import os as _os
+        _os.environ["PMOE_PACKED_STEM"] = "0"
+        try:
+            model_u = get_model(_moe_cfg(), dtype=jnp.bfloat16)
+
+            def count_step(params, batch_stats, opt_state, img_u8, spd, cmd,
+                           control, rng, it):
+                x = img_u8.astype(jnp.float32) / 255.0
+                x = augment(rng, x, it * batch, "super_hard", batch)
+
+                def loss_fn(p):
+                    (dist, speeds), updates = model_u.apply(
+                        {"params": p, "batch_stats": batch_stats},
+                        x, spd, cmd, True, mutable=["batch_stats"],
+                        rngs={"dropout": rng})
+                    return (moe_loss(dist, speeds, control, spd, (0.7, 0.3)),
+                            updates)
+
+                (loss, updates), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                upd, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, upd)
+                return params, updates["batch_stats"], opt_state, loss
+
+            cost = op_counter(count_step, params, batch_stats, opt_state,
+                              img_u8, spd, cmd, control, rng, 0.0)
+            flops = cost["flops"]
+        finally:
+            _os.environ.pop("PMOE_PACKED_STEM", None)
     except Exception:
         flops = -1.0
 

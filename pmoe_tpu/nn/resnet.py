@@ -382,14 +382,22 @@ class ResNetBackbone(nn.Module):
             xp = _PackedStem(self.in_channels, 64, gamma=self.gamma,
                              b=self.b, name="stem", **kw)(xp, train)
             xp = nn.relu(_PackedBN(64, name="bn1", **kw)(xp, train))
-            x = _packed_maxpool_3x3s2(xp, 64)
             # Stay packed through layer1 (64 channels = half-empty lanes
             # unpacked) when the pooled width still splits evenly; the
-            # repack is a free reshape (W, C adjacent).
-            packed_layer1 = spec["block"] == "basic" and x.shape[2] % 2 == 0
-            if packed_layer1:
-                Bp, Hp, Wp, Cp = x.shape
-                x = x.reshape(Bp, Hp, Wp // 2, 2 * Cp)
+            # repack is a free reshape (W, C adjacent). At production
+            # shapes on TPU the pool itself is a fused Pallas kernel
+            # (packed in -> packed out, one pass each way).
+            from ..ops.pool_pallas import (fused_packed_pool,
+                                           pallas_pool_supported)
+            packed_layer1 = (spec["block"] == "basic"
+                             and xp.shape[2] % 2 == 0)
+            if packed_layer1 and pallas_pool_supported(xp.shape):
+                x = fused_packed_pool(xp)
+            else:
+                x = _packed_maxpool_3x3s2(xp, 64)
+                if packed_layer1:
+                    Bp, Hp, Wp, Cp = x.shape
+                    x = x.reshape(Bp, Hp, Wp // 2, 2 * Cp)
         else:
             x = EfficientConvBlock(self.in_channels, 64, gamma=self.gamma,
                                    b=self.b, name="stem", **kw)(x, train)

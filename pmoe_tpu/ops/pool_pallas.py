@@ -1,0 +1,269 @@
+"""Fused 3x3/stride-2 max-pool on W-pair-packed tensors (Pallas, TPU).
+
+The ResNet stem's max-pool (reference backbone surgery keeps torchvision's
+pool, PMoE/model/blocks/backbone.py:63-69) is the stage-2 step's single
+most expensive region when expressed in XLA on the packed layout
+(pmoe_tpu/nn/resnet.py): the W-direction max chain, its tie-splitting
+backward (compare/divide/select full passes) and the H-direction
+reduce_window + select-and-scatter totalled ~50 ms/step at batch 64 on
+v5e, against a ~4 ms speed-of-light. This kernel does the whole pool in
+one pass per direction:
+
+- forward: reads the packed stem activation [B, H, W2, 2C] once, computes
+  the W-candidate max (left-parity-1 / parity-0 / parity-1), the
+  H-window-3/stride-2 max, and writes the pooled output REPACKED for the
+  packed layer1 [B, H/2, W2/2, 2C] plus a one-byte argmax code per output
+  element (h-slot * 3 + w-slot, first-match priority).
+- backward: reads grad + argmax once and scatters to the input block
+  entirely in VMEM (each output element routes its gradient to exactly one
+  input element — PyTorch-style first-match, a valid subgradient; XLA's
+  even tie-split differs only on exact ties).
+
+Gated to TPU + production-divisible shapes; anything else falls back to
+the XLA decomposition in resnet.py. PMOE_FUSED_POOL=0 disables.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = float("-inf")
+
+
+def _interpret() -> bool:
+    # off-TPU the kernel runs interpreted (tests); production gating
+    # (pallas_pool_supported) only routes here on TPU anyway
+    return jax.default_backend() != "tpu"
+
+
+def _pick_th(h2: int) -> int:
+    for th in (16, 8, 4, 2, 1):
+        if h2 % th == 0:
+            return th
+    return 1
+
+
+def pallas_pool_supported(shape) -> bool:
+    """(B, H, W2, 2C) poolable by the fused kernel?"""
+    if os.environ.get("PMOE_FUSED_POOL", "1") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if len(shape) != 4:
+        return False
+    _, H, W2, C2 = shape
+    return (C2 == 128 and H % 2 == 0 and W2 % 16 == 0 and W2 >= 16
+            and (H // 2) % 2 == 0)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(cur_ref, halo_ref, out_ref, idx_ref, *, th: int, w2: int,
+                c: int):
+    t = pl.program_id(1)
+    # f32 in-register: Mosaic's sublane rotate needs 32-bit data, and
+    # bf16 -> f32 is exact so comparisons match the XLA bf16 path
+    cur = cur_ref[0].astype(jnp.float32)                 # [2*th, W2, 2C]
+    halo = halo_ref[0].astype(jnp.float32)               # [1, W2, 2C]
+    halo = jnp.where(t > 0, halo, jnp.full_like(halo, NEG))
+    x = jnp.concatenate([halo, cur], axis=0)             # [2*th+1, W2, 2C]
+
+    r0 = x[:, :, :c]                                     # parity 0
+    r1 = x[:, :, c:]                                     # parity 1
+    # left parity 1: shift right by one W2 column, -inf in column 0.
+    # pltpu.roll + iota mask — a slice+concat on the sublane dim trips
+    # Mosaic ("offset mismatch on non-concat dimension").
+    col = jax.lax.broadcasted_iota(jnp.int32, r1.shape, 1)
+    l1 = jnp.where(col == 0, jnp.asarray(NEG, x.dtype),
+                   pltpu.roll(r1, shift=1, axis=1))
+
+    # W-direction: first-match priority l1 < r0 < r1
+    wmax = jnp.maximum(jnp.maximum(l1, r0), r1)          # [2*th+1, W2, C]
+    # NB: slot/code arithmetic stays int32 — Mosaic has no vector<i8> ALU;
+    # int8 is storage-only (cast at the final store)
+    widx = jnp.where(l1 == wmax, 0, jnp.where(r0 == wmax, 1, 2))
+
+    # H-direction: out row o reads wmax rows 2o, 2o+1, 2o+2 (top halo at -1).
+    # Strided row selection via leading-dim reshape (Mosaic lowers strided
+    # slices as unsupported >2D gathers): even rows = [:, 0], odd = [:, 1],
+    # and rows 2,4,...,2th = even rows shifted one block + the last row.
+    def _eo(v):
+        v0 = v[0:2 * th].reshape(th, 2, w2, v.shape[-1])
+        a = v0[:, 0]
+        b = v0[:, 1]
+        cc = jnp.concatenate([a[1:], v[2 * th:2 * th + 1]], axis=0)
+        return a, b, cc
+
+    a, b2, c3 = _eo(wmax)                                # each [th, W2, C]
+    out = jnp.maximum(jnp.maximum(a, b2), c3)
+    ia, ib, ic = _eo(widx)
+    code = jnp.where(a == out, ia,
+                     jnp.where(b2 == out, ib + 3, ic + 6))
+
+    # Output stays UNPACKED [th, W2, C]: the repack reshape moves sublane
+    # pairs into lanes, which Mosaic cannot shape-cast in-register
+    # ("unsupported shape cast"); the caller repacks with a cheap XLA
+    # reshape instead.
+    out_ref[0] = out.astype(out_ref.dtype)
+    idx_ref[0] = code.astype(jnp.int8)
+
+
+def _pool_fwd_impl(xp: jnp.ndarray):
+    B, H, W2, C2 = xp.shape
+    c = C2 // 2
+    h2 = H // 2
+    th = _pick_th(h2)
+    grid = (B, h2 // th)
+
+    def cur_map(b, t):
+        return (b, t, 0, 0)
+
+    def halo_map(b, t):
+        # single input row 2*th*t - 1 (block shape 1 -> block index == row);
+        # clamped at 0, masked inside the kernel for t == 0
+        return (b, jnp.maximum(2 * th * t - 1, 0), 0, 0)
+
+    out, idx = pl.pallas_call(
+        functools.partial(_fwd_kernel, th=th, w2=W2, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2 * th, W2, C2), cur_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W2, C2), halo_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, W2, c), cur_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, W2, c), cur_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, h2, W2, c), xp.dtype),
+            jax.ShapeDtypeStruct((B, h2, W2, c), jnp.int8),
+        ],
+        interpret=_interpret(),
+    )(xp, xp)
+    # repack for the packed layer1 (free reshape: W, C adjacent)
+    return out.reshape(B, h2, W2 // 2, C2), idx
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(g_ref, i_ref, gn_ref, in_ref, din_ref, *, th: int, w2: int,
+                c: int):
+    t = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    gp = g_ref[0].astype(jnp.float32)                    # [th, W2, C]
+    ip = i_ref[0].astype(jnp.int32)                      # i8 is storage-only
+    gn = gn_ref[0].astype(jnp.float32)                   # [1, W2, C]
+    inx = in_ref[0].astype(jnp.int32)
+    zero = jnp.zeros_like(gn)
+    gn = jnp.where(t < last, gn, zero)
+    # idx code 9 is never produced -> masked next-row contributes nothing
+    inx = jnp.where(t < last, inx, jnp.full_like(inx, 9))
+
+    g = jnp.concatenate([gp, gn], axis=0)                # [th+1, W2, C]
+    code = jnp.concatenate([ip, inx], axis=0)
+    hs = code // 3                                       # h slot 0/1/2
+    ws = code - 3 * hs                                   # w slot 0/1/2
+
+    def wdistribute(rows_g, rows_hs, rows_ws, want_h):
+        """Gradient to (parity0, parity1) input cols from out rows whose
+        h-slot == want_h."""
+        sel = rows_hs == want_h
+        g0 = jnp.where(sel & (rows_ws == 1), rows_g, 0.0)
+        g1 = jnp.where(sel & (rows_ws == 2), rows_g, 0.0)
+        gl = jnp.where(sel & (rows_ws == 0), rows_g, 0.0)
+        # left-slot of out col w'' lands on parity-1 col w''-1: shift left
+        # by one W2 column (roll + mask, see forward)
+        col = jax.lax.broadcasted_iota(jnp.int32, gl.shape, 1)
+        # circular shift by (w2-1) == left shift by 1 (roll needs shift >= 0)
+        gshift = jnp.where(col == gl.shape[1] - 1, jnp.asarray(0.0, gl.dtype),
+                           pltpu.roll(gl, shift=gl.shape[1] - 1, axis=1))
+        return g0, g1 + gshift
+
+    # input rows of this block: r = 0..2*th-1 (global 2*th*t + r)
+    # even r = 2k: touched by out row o'=k with h-slot 1
+    e0, e1 = wdistribute(g[:th], hs[:th], ws[:th], 1)
+    # odd r = 2k+1: out row o'=k with h-slot 2, and out row o'=k+1 with
+    # h-slot 0 (o'=th comes from the next block's first row)
+    o0a, o1a = wdistribute(g[:th], hs[:th], ws[:th], 2)
+    o0b, o1b = wdistribute(g[1:], hs[1:], ws[1:], 0)
+    o0, o1 = o0a + o0b, o1a + o1b
+
+    even = jnp.concatenate([e0, e1], axis=-1)            # [th, W2, 2C]
+    odd = jnp.concatenate([o0, o1], axis=-1)
+    inter = jnp.stack([even, odd], axis=1)               # [th, 2, W2, 2C]
+    din_ref[0] = inter.reshape(2 * th, w2, 2 * c).astype(din_ref.dtype)
+
+
+def _pool_bwd_impl(xshape, g, idx):
+    B, H, W2, C2 = xshape
+    c = C2 // 2
+    h2 = H // 2
+    th = _pick_th(h2)
+    grid = (B, h2 // th)
+
+    def cur_map(b, t):
+        return (b, t, 0, 0)
+
+    def next_map(b, t):
+        return (b, jnp.minimum(th * t + th, h2 - 1), 0, 0)
+
+    def din_map(b, t):
+        return (b, t, 0, 0)
+
+    # g arrives packed [B, h2, W2/2, 2C] — unpack to the kernel's
+    # per-column form [B, h2, W2, C] (free reshape)
+    gu = g.reshape(B, h2, W2, c)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, th=th, w2=W2, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, W2, c), cur_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, W2, c), cur_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W2, c), next_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W2, c), next_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * th, W2, C2), din_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W2, C2), g.dtype),
+        interpret=_interpret(),
+    )(gu, idx, gu, idx)
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def fused_packed_pool(xp: jnp.ndarray) -> jnp.ndarray:
+    """3x3/2 max-pool consuming AND producing the W-pair-packed layout:
+    [B, H, W2, 2C] -> [B, H/2, W2/2, 2C]."""
+    out, _ = _pool_fwd_impl(xp)
+    return out
+
+
+def _fpp_fwd(xp):
+    out, idx = _pool_fwd_impl(xp)
+    return out, idx
+
+
+def _fpp_bwd(idx, g):
+    B, h2, W2, c = idx.shape          # idx is stored UNPACKED [B,h2,W2,C]
+    xshape = (B, 2 * h2, W2, 2 * c)
+    return (_pool_bwd_impl(xshape, g, idx),)
+
+
+fused_packed_pool.defvjp(_fpp_fwd, _fpp_bwd)

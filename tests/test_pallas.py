@@ -70,3 +70,58 @@ def test_eca_flag_routes_module_through_kernel(monkeypatch):
     y_fused = m.apply(v, x)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused packed max-pool (ops/pool_pallas.py; hardware-validated on v5e:
+# fwd 21.45 -> 7.43 ms at (3,64,224,112,128) bf16)
+# ---------------------------------------------------------------------------
+
+def _ref_pool(xp, C=64):
+    from pmoe_tpu.nn.resnet import _packed_maxpool_3x3s2
+    out = _packed_maxpool_3x3s2(xp, C)
+    B, H2, W2, C_ = out.shape
+    return out.reshape(B, H2, W2 // 2, 2 * C_)
+
+
+def test_fused_pool_forward_exact():
+    from pmoe_tpu.ops.pool_pallas import fused_packed_pool
+    xp = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 16, 128))
+    np.testing.assert_array_equal(np.asarray(_ref_pool(xp)),
+                                  np.asarray(fused_packed_pool(xp)))
+
+
+def test_fused_pool_backward_exact_on_continuous_input():
+    # no ties on continuous input -> the argmax subgradient matches XLA's
+    from pmoe_tpu.ops.pool_pallas import fused_packed_pool
+    key = jax.random.PRNGKey(1)
+    xp = jax.random.normal(key, (2, 32, 16, 128))
+    g = jax.random.normal(jax.random.fold_in(key, 1), (2, 16, 8, 128))
+    g0 = jax.grad(lambda x: jnp.sum(_ref_pool(x) * g))(xp)
+    g1 = jax.grad(lambda x: jnp.sum(fused_packed_pool(x) * g))(xp)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
+
+
+def test_fused_pool_tie_gradient_mass_conserved():
+    # relu-like input (many tied zeros): each output element must route its
+    # gradient to exactly one window element (first-match subgradient)
+    from pmoe_tpu.ops.pool_pallas import fused_packed_pool
+    key = jax.random.PRNGKey(2)
+    xp = jnp.maximum(jax.random.normal(key, (2, 32, 16, 128)), 0.0)
+    g = jax.random.normal(jax.random.fold_in(key, 3), (2, 16, 8, 128))
+    gt = jax.grad(lambda x: jnp.sum(fused_packed_pool(x) * g))(xp)
+    np.testing.assert_allclose(float(jnp.sum(gt)), float(jnp.sum(g)),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(_ref_pool(xp)),
+                                  np.asarray(fused_packed_pool(xp)))
+
+
+def test_fused_pool_vmap_bf16():
+    # the MoE stacks experts with nn.vmap; pallas batching adds a grid axis
+    from pmoe_tpu.ops.pool_pallas import fused_packed_pool
+    xb = jax.random.normal(jax.random.PRNGKey(4),
+                           (2, 32, 16, 128)).astype(jnp.bfloat16)
+    xs = jnp.stack([xb, xb * 0.5, xb + 1])
+    yv = jax.vmap(fused_packed_pool)(xs)
+    yr = jax.vmap(lambda a: _ref_pool(a))(xs)
+    np.testing.assert_array_equal(np.asarray(yv), np.asarray(yr))

@@ -95,15 +95,24 @@ def test_shard_batch_places_leading_dim():
 
 
 @pytest.mark.heavy
-def test_stage2_dp_ep_step_matches_single_device(tiny_moe_cfg):
+@pytest.mark.parametrize("backbone", ["tiny", "resnet18-packed"])
+def test_stage2_dp_ep_step_matches_single_device(tiny_moe_cfg, monkeypatch,
+                                                 backbone):
     """One full stage-2 train step (forward, moe_loss, grads, adam update)
     under the 2-expert x 4-data mesh produces the same loss and parameters as
-    the unsharded single-device step (VERDICT round-1 item 10)."""
+    the unsharded single-device step (VERDICT round-1 item 10). The
+    resnet18-packed variant forces the TPU W-pair-packed stem/layer1 path
+    (pmoe_tpu/nn/resnet.py) so the packed convs meet the expert mesh."""
     from pmoe_tpu.models import get_model
     from pmoe_tpu.parallel import replicated
     from pmoe_tpu.trainer.losses import moe_loss
 
     cfg = dict(tiny_moe_cfg, n_experts=2)
+    if backbone == "resnet18-packed":
+        monkeypatch.setenv("PMOE_PACKED_STEM", "1")
+        cfg["backbone"] = {"type": "rgb", "n_frames": 4,
+                           "rgb": {"arch": "resnet18", "pretrained": False,
+                                   "gamma": 2, "b": 1}}
     model = get_model(cfg)
     B = 8
     k = jax.random.PRNGKey(0)
@@ -144,11 +153,21 @@ def test_stage2_dp_ep_step_matches_single_device(tiny_moe_cfg):
 
     np.testing.assert_allclose(float(loss_mesh), float(loss_ref), rtol=1e-5)
     # adam's rsqrt amplifies fp32 reduction-order noise near zero-variance
-    # moments; tolerate update-magnitude-scale (lr=1e-3) differences
+    # moments; tolerate update-magnitude-scale (lr=1e-3) differences. The
+    # deep resnet18 stack additionally compounds ReLU/max-pool tie flips
+    # (a pre-activation an ulp from zero routes its gradient differently
+    # under the mesh's reduction order), so isolated elements can move by
+    # a few update-steps' worth: bound the bulk tightly and allow <=0.1%
+    # outliers within 5x the update scale.
     for a, b in zip(jax.tree_util.tree_leaves(p_ref),
                     jax.tree_util.tree_leaves(p_mesh)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=2e-5)
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        if backbone == "tiny":
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+        else:
+            d = np.abs(a - b)
+            assert np.mean(d > 5e-4 + 5e-4 * np.abs(a)) <= 1e-3
+            assert d.max() <= 5e-3
 
 
 @pytest.mark.heavy

@@ -85,8 +85,10 @@ def main():
         raise KeyError(f"{name} not in {cols}")
 
     i_cat = col("HLO op category")
-    i_name = col("HLO op expression")
+    i_name = col("HLO op name")
+    i_text = col("HLO op text")
     i_self = col("Total self time (us)")
+    i_bound = col("Bound by")
     agg = {}
     for r in rows:
         cat = r[i_cat] or "?"
@@ -99,8 +101,9 @@ def main():
     print(f"\n== top {args.top} ops by self time ==")
     rows.sort(key=lambda r: -float(r[i_self] or 0))
     for r in rows[:args.top]:
-        expr = (r[i_name] or "")[:110]
-        print(f"  {float(r[i_self] or 0)/1e3:8.2f} ms  {r[i_cat]:<22s} {expr}")
+        print(f"  {float(r[i_self] or 0)/1e3:8.2f} ms {str(r[i_bound]):<10s}"
+              f" {str(r[i_cat]):<20s} {(r[i_name] or '')[:36]:<38s}"
+              f" {(r[i_text] or '')[:70]}")
 
 
 if __name__ == "__main__":
