@@ -199,7 +199,7 @@ def bench_stage01():
     unet = UNet(in_features=3, out_features=23, dtype=jnp.bfloat16)
     x0 = jnp.zeros((B0, 224, 224, 3), jnp.float32)
     m0 = jnp.zeros((B0, 224, 224), jnp.int32)
-    v0 = jit_init(unet, {"params": jax.random.PRNGKey(0)}, x0[:2], False)
+    v0 = jit_init(unet, {"params": jax.random.PRNGKey(0)}, x0[:2])
     tx0 = optax.adam(3e-4)
     opt0 = tx0.init(v0["params"])
 
