@@ -11,15 +11,16 @@ reference's behavior and is preserved.
 
 from __future__ import annotations
 
-import os
-from typing import Any, Sequence
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 from flax import linen as nn
 
-from .blocks import EfficientConvBlock, eca_kernel_size
+from .blocks import EfficientConvBlock
+from .packed import (PackedBN as _PackedBN, PackedConv3 as _PackedConv3,
+                     PackedECA as _PackedECA, pack_conv_kernel_w2,
+                     use_packing as _use_packed_stem)
 
 __all__ = ["ResNetBackbone", "RESNET_SPECS", "pack_conv_kernel_w2"]
 
@@ -51,114 +52,6 @@ Dtype = Any
 # the same initializers, so checkpoints are interchangeable and goldens
 # validate both paths.
 # ---------------------------------------------------------------------------
-
-
-def pack_conv_kernel_w2(w: jnp.ndarray) -> jnp.ndarray:
-    """(kh, 3, C, Co) 3x3 kernel -> (kh, 3, 2C, 2Co) W-pair-packed kernel.
-
-    Packed channel index is ``parity * C + c``. Output column pair
-    (w=2*w2, w=2*w2+1) is produced from packed columns w2-1, w2, w2+1:
-    taps kw=-1,0,+1 of output parity r land on input parity (r+kw) mod 2 at
-    packed offset (r + kw - r') / 2.
-    """
-    kh, kw, C, Co = w.shape
-    assert kw == 3
-    wp = jnp.zeros((kh, 3, 2 * C, 2 * Co), w.dtype)
-    wp = wp.at[:, 0, C:, :Co].set(w[:, 0])      # kw=-1 -> (r'=1, kw2=-1)
-    wp = wp.at[:, 1, :C, :Co].set(w[:, 1])      # kw=0  -> (r'=0, kw2=0)
-    wp = wp.at[:, 1, C:, :Co].set(w[:, 2])      # kw=+1 -> (r'=1, kw2=0)
-    wp = wp.at[:, 1, :C, Co:].set(w[:, 0])      # r=1, kw=-1
-    wp = wp.at[:, 1, C:, Co:].set(w[:, 1])      # r=1, kw=0
-    wp = wp.at[:, 2, :C, Co:].set(w[:, 2])      # r=1, kw=+1
-    return wp
-
-
-class _PackedConv3(nn.Module):
-    """Bias-free 3x3 stride-1 conv on a W-pair-packed tensor. Declares the
-    canonical (3,3,C,Co) ``kernel`` param (same path/init as ``nn.Conv``)."""
-
-    in_channels: int
-    features: int
-    dtype: Dtype = jnp.float32
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
-        w = self.param("kernel", nn.initializers.lecun_normal(),
-                       (3, 3, self.in_channels, self.features),
-                       self.param_dtype)
-        wp = pack_conv_kernel_w2(w).astype(self.dtype)
-        return lax.conv_general_dilated(
-            xp.astype(self.dtype), wp, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-
-class _PackedBN(nn.Module):
-    """BatchNorm on a W-pair-packed tensor with canonical (C,) params/stats.
-
-    Replicates flax ``nn.BatchNorm`` numerics (momentum 0.9, eps 1e-5,
-    fast-variance, f32 stats): packed-half means fold exactly because both
-    halves hold the same number of pixels."""
-
-    features: int
-    dtype: Dtype = jnp.float32
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, xp: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        C = self.features
-        scale = self.param("scale", nn.initializers.ones, (C,),
-                           self.param_dtype)
-        bias = self.param("bias", nn.initializers.zeros, (C,),
-                          self.param_dtype)
-        ra_mean = self.variable("batch_stats", "mean",
-                                lambda s: jnp.zeros(s, jnp.float32), (C,))
-        ra_var = self.variable("batch_stats", "var",
-                               lambda s: jnp.ones(s, jnp.float32), (C,))
-        if not train:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            xf = xp.astype(jnp.promote_types(xp.dtype, jnp.float32))
-            mu_p = jnp.mean(xf, axis=(0, 1, 2))
-            mu2_p = jnp.mean(xf * xf, axis=(0, 1, 2))
-            mean = 0.5 * (mu_p[:C] + mu_p[C:])
-            mu2 = 0.5 * (mu2_p[:C] + mu2_p[C:])
-            var = jnp.maximum(0.0, mu2 - mean * mean)
-            if not self.is_initializing():
-                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
-                ra_var.value = 0.9 * ra_var.value + 0.1 * var
-        mean2 = jnp.concatenate([mean, mean])
-        mul = lax.rsqrt(jnp.concatenate([var, var]) + 1e-5)
-        mul = mul * jnp.concatenate([scale, scale]).astype(jnp.float32)
-        y = (xp - mean2) * mul
-        y = y + jnp.concatenate([bias, bias]).astype(jnp.float32)
-        return y.astype(self.dtype)
-
-
-class _PackedECA(nn.Module):
-    """ECA gate on a W-pair-packed tensor; canonical ``conv_kernel`` param."""
-
-    channels: int
-    gamma: int = 2
-    b: int = 1
-    dtype: Dtype = jnp.float32
-    param_dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
-        C = self.channels
-        k = eca_kernel_size(C, self.gamma, self.b)
-        w = self.param("conv_kernel", nn.initializers.lecun_normal(),
-                       (k, 1, 1), self.param_dtype)
-        m_p = jnp.mean(xp.astype(jnp.promote_types(xp.dtype, jnp.float32)),
-                       axis=(1, 2))                              # (B, 2C)
-        y = (0.5 * (m_p[:, :C] + m_p[:, C:])).astype(self.dtype)
-        y = lax.conv_general_dilated(
-            y[:, :, None], w.astype(self.dtype), (1,),
-            [(k // 2, k // 2)], dimension_numbers=("NWC", "WIO", "NWC"))
-        gate = nn.sigmoid(y)[..., 0]                              # (B, C)
-        g2 = jnp.concatenate([gate, gate], axis=-1)
-        return xp * g2[:, None, None, :].astype(xp.dtype)
 
 
 class _PackedStem(nn.Module):
@@ -282,16 +175,6 @@ class _PackedEntryBasicBlock(nn.Module):
         residual = bn("downsample_bn")(residual)
         return nn.relu(y + residual)
 
-
-def _use_packed_stem(flag, width: int) -> bool:
-    """Resolve the packed-stem switch: explicit config beats the
-    PMOE_PACKED_STEM env var beats auto (on for TPU backends)."""
-    if flag is None:
-        flag = os.environ.get("PMOE_PACKED_STEM", "auto")
-    if isinstance(flag, str):
-        flag = (jax.default_backend() == "tpu") if flag == "auto" \
-            else flag not in ("0", "false", "False")
-    return bool(flag) and width % 2 == 0
 
 RESNET_SPECS = {
     "resnet18": {"block": "basic", "layers": (2, 2, 2, 2), "width": 512},

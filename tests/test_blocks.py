@@ -269,3 +269,92 @@ def test_packed_stem_matches_unpacked_forward_and_grads():
         # gradient routing between the two (rounding-inequivalent) schedules
         np.testing.assert_allclose(a / scale, b / scale,
                                    rtol=0, atol=5e-3, err_msg=str(p))
+
+
+# ---------------------------------------------------------------------------
+# W-pair-packed UNet level 1 (TPU fast path) — exactness vs canonical
+# ---------------------------------------------------------------------------
+
+def test_packed_unet_param_tree_and_numerics(monkeypatch):
+    import jax
+    from pmoe_tpu.nn.unet import UNet
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3), jnp.float32)
+
+    monkeypatch.setenv("PMOE_PACKED_STEM", "0")
+    ref = UNet(in_features=3, out_features=23, dropout=0.2)
+    v = ref.init({"params": jax.random.PRNGKey(1)}, x, True)
+
+    monkeypatch.setenv("PMOE_PACKED_STEM", "1")
+    pk = UNet(in_features=3, out_features=23, dropout=0.2)
+    v1 = pk.init({"params": jax.random.PRNGKey(1)}, x, True)
+
+    # identical param/collection trees (same paths, shapes, values)
+    f0 = jax.tree_util.tree_leaves_with_path(v)
+    f1 = jax.tree_util.tree_leaves_with_path(v1)
+    assert [p for p, _ in f0] == [p for p, _ in f1]
+    for (p, a), (_, b) in zip(f0, f1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(p))
+
+    def run(env, train, with_drop_rng=False):
+        monkeypatch.setenv("PMOE_PACKED_STEM", env)
+        m = UNet(in_features=3, out_features=23, dropout=0.2)
+        rngs = {"dropout": jax.random.PRNGKey(7)} if with_drop_rng else {}
+        if train:
+            return m.apply(v, x, True, mutable=["batch_stats"], rngs=rngs)
+        return m.apply(v, x, False)
+
+    # eval forward
+    y0 = run("0", False)
+    y1 = run("1", False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+
+    # train forward (dropout active: identical channel masks by rng-draw
+    # shape) + batch_stats
+    y0, u0 = run("0", True, True)
+    y1, u1 = run("1", True, True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-3, atol=2e-3)
+    l0 = jax.tree_util.tree_leaves_with_path(u0["batch_stats"])
+    l1 = dict(jax.tree_util.tree_leaves_with_path(u1["batch_stats"]))
+    for p, a in l0:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(l1[p]),
+                                   rtol=1e-3, atol=1e-4, err_msg=str(p))
+
+    # gradients through the eval forward (well-conditioned; see the packed
+    # resnet tests for why train-mode whole-net grads are not comparable)
+    def loss(params, env):
+        monkeypatch.setenv("PMOE_PACKED_STEM", env)
+        m = UNet(in_features=3, out_features=23, dropout=0.0)
+        y = m.apply({"params": params, "batch_stats": v["batch_stats"]},
+                    x, False)
+        return jnp.mean(y ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, "0"))(v["params"])
+    g1 = jax.grad(lambda p: loss(p, "1"))(v["params"])
+    for (p, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.maximum(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale,
+                                   rtol=0, atol=1e-3, err_msg=str(p))
+
+
+def test_packed_unet_inter_repr_and_odd_fallback(monkeypatch):
+    import jax
+    from pmoe_tpu.nn.unet import UNet
+
+    monkeypatch.setenv("PMOE_PACKED_STEM", "1")
+    m = UNet(inter_repr=True)
+    x = jnp.ones((1, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    pooled, seg = m.apply(v, x, False)
+    assert pooled.shape == (1, 512) and seg.shape == (1, 32, 32, 23)
+
+    # odd/non-16-divisible sizes must fall back to the canonical path
+    m2 = UNet()
+    x2 = jnp.ones((1, 36, 44, 3))
+    v2 = m2.init(jax.random.PRNGKey(0), x2, False)
+    assert m2.apply(v2, x2, False).shape == (1, 36, 44, 23)

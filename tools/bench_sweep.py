@@ -153,6 +153,101 @@ def ab_packed_stem(B: int = 64, windows: int = 5, steps: int = 10):
           f"{[round(r, 3) for r in ratios]}  median={np.median(ratios):.3f}")
 
 
+def ab_packed_unet(windows: int = 5, only: str = ""):
+    """Paired interleaved A/B of the stage-0 segmentation train step (UNet
+    3->23 @ 224, bs 64) and the stage-1 PU-Net rollout step (bs 10) with the
+    canonical vs the W-pair-packed UNet level 1 (pmoe_tpu/nn/unet.py). Both
+    variants compile up front; alternating windows cancel relay drift."""
+    import os
+
+    import optax as _optax
+
+    from pmoe_tpu.models.punet import PredictiveUNet
+    from pmoe_tpu.nn.unet import UNet
+    from pmoe_tpu.trainer.losses import (autoregressive_loss,
+                                         cross_entropy_tversky_weighted_loss)
+
+    def build_stage0(flag):
+        os.environ["PMOE_PACKED_STEM"] = flag
+        B = 64
+        unet = UNet(in_features=3, out_features=23, dtype=jnp.bfloat16)
+        x = jnp.zeros((B, 224, 224, 3), jnp.float32)
+        m = jnp.zeros((B, 224, 224), jnp.int32)
+        v = jit_init(unet, {"params": jax.random.PRNGKey(0)}, x[:2])
+        tx = _optax.adam(3e-4)
+        opt = tx.init(v["params"])
+
+        def step(p, bs, opt, x, m):
+            def loss_fn(p):
+                logits, upd = unet.apply(
+                    {"params": p, "batch_stats": bs}, x, True,
+                    mutable=["batch_stats"])
+                return cross_entropy_tversky_weighted_loss(logits, m), upd
+            (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            u, opt = tx.update(g, opt, p)
+            return _optax.apply_updates(p, u), upd["batch_stats"], opt, l
+
+        jstep = jax.jit(step, donate_argnums=(0, 1, 2))
+        st = jstep(v["params"], v["batch_stats"], opt, x, m)
+        _ = float(st[-1])
+        return jstep, st[:3], (x, m)
+
+    def build_stage1(flag):
+        os.environ["PMOE_PACKED_STEM"] = flag
+        B = 10
+        pu = PredictiveUNet(past_frames=4, future_frames=6,
+                            dtype=jnp.bfloat16)
+        x = jnp.zeros((B, 4, 224, 224, 3), jnp.float32)
+        m = jnp.zeros((B, 6, 224, 224), jnp.int32)
+        v = jit_init(pu, {"params": jax.random.PRNGKey(0)}, x[:1])
+        tx = _optax.adam(3e-4)
+        opt = tx.init(v["params"])
+
+        def step(p, bs, opt, x, m):
+            def loss_fn(p):
+                outs, upd = pu.apply({"params": p, "batch_stats": bs}, x,
+                                     train=True, mutable=["batch_stats"])
+                return autoregressive_loss(outs, m, "l1"), upd
+            (l, upd), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            u, opt = tx.update(g, opt, p)
+            return _optax.apply_updates(p, u), upd["batch_stats"], opt, l
+
+        jstep = jax.jit(step, donate_argnums=(0, 1, 2))
+        st = jstep(v["params"], v["batch_stats"], opt, x, m)
+        _ = float(st[-1])
+        return jstep, st[:3], (x, m)
+
+    for stage, build, steps in (("stage0", build_stage0, 5),
+                                ("stage1", build_stage1, 3)):
+        if only and stage != only:
+            continue
+        print(f"{stage}: compiling both variants ...", flush=True)
+        runs, states, datas = {}, {}, {}
+        for label, flag in (("unpacked", "0"), ("packed", "1")):
+            runs[label], states[label], datas[label] = build(flag)
+        os.environ.pop("PMOE_PACKED_STEM", None)
+        times = {"unpacked": [], "packed": []}
+        for _w in range(windows):
+            for label in ("unpacked", "packed"):
+                p, bs, opt = states[label]
+                x, m = datas[label]
+                t0 = time.perf_counter()
+                for _ in range(steps):
+                    p, bs, opt, l = runs[label](p, bs, opt, x, m)
+                _ = float(l)
+                times[label].append((time.perf_counter() - t0) / steps)
+                states[label] = (p, bs, opt)
+        for label in ("unpacked", "packed"):
+            best = min(times[label])
+            print(f"{stage} {label:10s} best {best * 1e3:7.1f} ms/step "
+                  f"({1 / best:.3f} steps/s)  "
+                  f"windows={[round(t * 1e3, 1) for t in times[label]]}",
+                  flush=True)
+        ratios = [u / p for u, p in zip(times["unpacked"], times["packed"])]
+        print(f"{stage} paired speedup (unpacked/packed) per window: "
+              f"{[round(r, 3) for r in ratios]}  median={np.median(ratios):.3f}")
+
+
 def stage3_decomposition():
     """Component timings of the stage-3 DDPG learn step (the round-4
     analysis that exposed the replay-upload gap): trunk_pair at 2B, critic
@@ -229,6 +324,10 @@ def main():
                     help="decompose the stage-3 DDPG learn step instead")
     ap.add_argument("--ab-stem", action="store_true",
                     help="paired A/B: canonical vs W-pair-packed stem")
+    ap.add_argument("--ab-unet", action="store_true",
+                    help="paired A/B: canonical vs W-pair-packed UNet level 1")
+    ap.add_argument("--only", default="",
+                    help="restrict --ab-unet to one stage (stage0|stage1)")
     args = ap.parse_args()
     bench.health_check()
     if args.stage3:
@@ -236,6 +335,9 @@ def main():
         return
     if args.ab_stem:
         ab_packed_stem(args.batch)
+        return
+    if args.ab_unet:
+        ab_packed_unet(only=args.only)
         return
     B = args.batch
     cfg = bench._moe_cfg()
