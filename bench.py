@@ -55,12 +55,33 @@ def peak_flops() -> float:
     return 197e12
 
 
-def health_check() -> None:
+def health_check(attempts: int = 4, wait_s: float = 150.0) -> None:
     """Tiny matmul first: verifies the (possibly tunneled) device answers
-    before long compiles are committed."""
-    x = jnp.ones((256, 256), jnp.bfloat16)
-    y = jax.jit(lambda a: a @ a)(x)
-    assert np.isfinite(float(y.sum()))
+    before long compiles are committed.
+
+    The tunneled relay wedges for ~8 min after any client is killed mid-
+    session (and backend init surfaces that as UNAVAILABLE, sometimes after
+    a long hang) — retry with a cleared backend cache instead of failing
+    the whole bench on a transient."""
+    last = None
+    for i in range(attempts):
+        try:
+            x = jnp.ones((256, 256), jnp.bfloat16)
+            y = jax.jit(lambda a: a @ a)(x)
+            assert np.isfinite(float(y.sum()))
+            return
+        except RuntimeError as e:  # backend init / UNAVAILABLE transients
+            last = e
+            if "UNAVAILABLE" not in str(e) or i == attempts - 1:
+                raise
+            print(f"health_check: device unavailable (attempt {i + 1}/"
+                  f"{attempts}), retrying in {wait_s:.0f}s", flush=True)
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+            time.sleep(wait_s)
+    raise last
 
 
 def measure_roundtrip_ms() -> float:
