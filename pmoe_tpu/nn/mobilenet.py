@@ -43,6 +43,7 @@ class _ConvBNAct(nn.Module):
     stride: int = 1
     groups: int = 1
     act: str = "relu6"          # relu6 | relu | hswish | none
+    bn_eps: float = 1e-3        # torchvision: 1e-3 for v3, 1e-5 for v2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -54,7 +55,7 @@ class _ConvBNAct(nn.Module):
                     strides=(self.stride, self.stride), padding=pad,
                     feature_group_count=self.groups, use_bias=False, **kw)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3, **kw)(x)
+                         epsilon=self.bn_eps, **kw)(x)
         if self.act == "relu6":
             x = nn.relu6(x)
         elif self.act == "relu":            # torchvision v3's "RE" blocks
@@ -91,19 +92,23 @@ class _InvertedResidual(nn.Module):
     stride: int = 1
     use_se: bool = False
     act: str = "relu6"
+    bn_eps: float = 1e-3
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(bn_eps=self.bn_eps, dtype=self.dtype,
+                  param_dtype=self.param_dtype)
         y = x
         if self.expand_ch != self.in_ch:
             y = _ConvBNAct(self.expand_ch, 1, act=self.act, name="expand", **kw)(y, train)
         y = _ConvBNAct(self.expand_ch, self.kernel, self.stride,
                        groups=self.expand_ch, act=self.act, name="depthwise", **kw)(y, train)
         if self.use_se:
-            y = _SqueezeExcite(self.expand_ch, name="se", **kw)(y)
+            y = _SqueezeExcite(self.expand_ch, name="se",
+                               dtype=self.dtype,
+                               param_dtype=self.param_dtype)(y)
         y = _ConvBNAct(self.out_ch, 1, act="none", name="project", **kw)(y, train)
         if self.stride == 1 and self.in_ch == self.out_ch:
             y = y + x
@@ -182,9 +187,10 @@ class MobileNetBackbone(nn.Module):
         if arch == "mobilenet_v2":
             for i, (out_ch, t, stride) in enumerate(blocks):
                 x = _InvertedResidual(in_ch, out_ch, expand_ch=in_ch * t,
-                                      stride=stride, name=f"block_{i}", **kw)(x, train)
+                                      stride=stride, bn_eps=1e-5,
+                                      name=f"block_{i}", **kw)(x, train)
                 in_ch = out_ch
-            x = _ConvBNAct(1280, 1, name="head_conv", **kw)(x, train)
+            x = _ConvBNAct(1280, 1, bn_eps=1e-5, name="head_conv", **kw)(x, train)
             x = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
             x = nn.Dense(self.out_dim, name="classifier", **kw)(x)
         else:

@@ -252,3 +252,35 @@ def test_mobilenet_v3s_backbone_matches_reference(manifest):
                 False)
     assert y.shape == (2, 512)
     np.testing.assert_allclose(np.asarray(y), rec["y"], rtol=5e-4, atol=5e-4)
+
+
+def test_remaining_backbones_match_reference(manifest):
+    """The rest of the reference backbone factory surface (backbone.py:
+    56-104): resnet34 (deeper BasicBlock stacks, Identity fc), resnet50
+    (Bottleneck 1-3-1 convs + 4x expansion, Linear(2048, 512) head),
+    mobilenet_v3_large (15 blocks, 960->1280->512 classifier) and
+    mobilenet_v2 (ReLU6 ConvBNReLU blocks, whole-classifier replacement
+    Linear(1280, 512)) — recorded torch activations vs converted weights."""
+    from pmoe_tpu.nn.mobilenet import MobileNetBackbone
+    from pmoe_tpu.nn.resnet import ResNetBackbone
+
+    cases = [
+        ("resnet34_backbone", "resnet34",
+         ResNetBackbone, tc.resnet_backbone_from_torch),
+        ("resnet50_backbone", "resnet50",
+         ResNetBackbone, tc.resnet_backbone_from_torch),
+        ("mobilenet_v3l_backbone", "mobilenet_v3_large",
+         MobileNetBackbone, tc.mobilenet_backbone_from_torch),
+        ("mobilenet_v2_backbone", "mobilenet_v2",
+         MobileNetBackbone, tc.mobilenet_backbone_from_torch),
+    ]
+    for tag, arch, cls, convert in cases:
+        sd = state_dict_for(manifest[tag])
+        params, stats = convert(sd, arch)
+        rec = load_outputs(tag)
+        m = cls(arch=arch, in_channels=12)
+        y = m.apply({"params": params, "batch_stats": stats}, nhwc(rec["x"]),
+                    False)
+        assert y.shape == (2, 512), tag
+        np.testing.assert_allclose(np.asarray(y), rec["y"], rtol=5e-4,
+                                   atol=5e-4, err_msg=tag)

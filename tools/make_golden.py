@@ -187,8 +187,13 @@ def main() -> None:
     # InvertedResidual + SqueezeExcitation, BN eps=1e-3); the reference's
     # surgery (EfficientConvBlock stem from the REAL reference basics.py,
     # 512-d head) is then applied verbatim per backbone.py:49-104.
-    for tag, builder in (("resnet18_backbone", _build_resnet18_surgery),
-                         ("mobilenet_v3s_backbone", _build_mnv3s_surgery)):
+    for tag, builder in (
+            ("resnet18_backbone", _build_resnet18_surgery),
+            ("resnet34_backbone", lambda: _build_resnet_surgery("resnet34")),
+            ("resnet50_backbone", lambda: _build_resnet_surgery("resnet50")),
+            ("mobilenet_v3s_backbone", _build_mnv3s_surgery),
+            ("mobilenet_v3l_backbone", _build_mnv3l_surgery),
+            ("mobilenet_v2_backbone", _build_mnv2_surgery)):
         m = builder().eval()
         manifests[tag] = fill(m)
         x = image_for(tag, (2, 12, 64, 64))
@@ -309,6 +314,247 @@ def _build_resnet18_surgery():
             return self.fc(torch.flatten(self.avgpool(x), 1))
 
     return ResNet18()
+
+
+def _build_resnet_surgery(arch: str):
+    """torchvision resnet34/resnet50 skeletons (exact naming/forward) with the
+    reference surgery (backbone.py:56-71): conv1 -> EfficientConvBlock(12 ->
+    64); fc Identity at width 512 (resnet34) / Linear(2048, 512) (resnet50)."""
+    import torch.nn as nn
+    from model.blocks.basics import EfficientConvBlock
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idt)
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, cin, width, stride=1):
+            super().__init__()
+            cout = width * 4
+            self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(width)
+            self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(y + idt)
+
+    block = BasicBlock if arch == "resnet34" else Bottleneck
+    counts = (3, 4, 6, 3)
+
+    class ResNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = EfficientConvBlock(in_ch=12, out_ch=64, gamma=2, b=1)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            cin = 64
+            for s, (w, n) in enumerate(zip((64, 128, 256, 512), counts),
+                                       start=1):
+                blocks = [block(cin, w, stride=1 if s == 1 else 2)]
+                cin = w * block.expansion
+                blocks += [block(cin, w) for _ in range(n - 1)]
+                setattr(self, f"layer{s}", nn.Sequential(*blocks))
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.fc = (nn.Identity() if cin == 512
+                       else nn.Linear(cin, 512))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for s in range(1, 5):
+                x = getattr(self, f"layer{s}")(x)
+            return self.fc(torch.flatten(self.avgpool(x), 1))
+
+    return ResNet()
+
+
+def _build_mnv2_surgery():
+    """torchvision.models.mobilenet_v2 skeleton (0.9.x naming: ConvBNReLU =
+    Sequential(conv, bn, relu6); InvertedResidual.conv = [expand?, depthwise,
+    project-conv, project-bn]) with the reference surgery: features[0][0] ->
+    EfficientConvBlock(12 -> 32), classifier -> Linear(1280, 512)
+    (backbone.py:90-100)."""
+    import torch.nn as nn
+    from model.blocks.basics import EfficientConvBlock
+
+    def cbr(cin, cout, k=3, stride=1, groups=1):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, groups=groups,
+                      bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU6(inplace=True))
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, cin, cout, t, stride):
+            super().__init__()
+            exp = cin * t
+            layers = [] if t == 1 else [cbr(cin, exp, 1)]
+            layers += [cbr(exp, exp, 3, stride, groups=exp),
+                       nn.Conv2d(exp, cout, 1, bias=False),
+                       nn.BatchNorm2d(cout)]
+            self.conv = nn.Sequential(*layers)
+            self.use_res = stride == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.conv(x)
+            return x + y if self.use_res else y
+
+    # (out_ch, expand_ratio, stride) expanded per repeat — v2 paper Table 2
+    conf = [(16, 1, 1),
+            (24, 6, 2), (24, 6, 1),
+            (32, 6, 2), (32, 6, 1), (32, 6, 1),
+            (64, 6, 2), (64, 6, 1), (64, 6, 1), (64, 6, 1),
+            (96, 6, 1), (96, 6, 1), (96, 6, 1),
+            (160, 6, 2), (160, 6, 1), (160, 6, 1),
+            (320, 6, 1)]
+
+    class MNv2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            stem = nn.Sequential(
+                EfficientConvBlock(in_ch=12, out_ch=32, gamma=2, b=1),
+                nn.BatchNorm2d(32),
+                nn.ReLU6(inplace=True))
+            feats, cin = [stem], 32
+            for cout, t, stride in conf:
+                feats.append(InvertedResidual(cin, cout, t, stride))
+                cin = cout
+            feats.append(cbr(320, 1280, 1))
+            self.features = nn.Sequential(*feats)
+            self.classifier = nn.Linear(1280, 512)
+
+        def forward(self, x):
+            x = self.features(x)
+            x = nn.functional.adaptive_avg_pool2d(x, 1)
+            return self.classifier(torch.flatten(x, 1))
+
+    return MNv2()
+
+
+def _build_mnv3l_surgery():
+    """torchvision.models.mobilenet_v3_large skeleton (0.9.x naming, BN
+    eps=1e-3) with the reference surgery: features[0][0] ->
+    EfficientConvBlock(12 -> 16), classifier[3] -> Linear(1280, 512)."""
+    import torch.nn as nn
+    from model.blocks.basics import EfficientConvBlock
+
+    def make_divisible(v, divisor=8):
+        nv = max(divisor, int(v + divisor / 2) // divisor * divisor)
+        return nv + divisor if nv < 0.9 * v else nv
+
+    def cba(cin, cout, k=3, stride=1, groups=1, act="RE"):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, groups=groups,
+                      bias=False),
+            nn.BatchNorm2d(cout, eps=0.001, momentum=0.01),
+            nn.Hardswish() if act == "HS" else nn.ReLU(inplace=True))
+
+    class SqueezeExcitation(nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            squeeze = make_divisible(ch // 4)
+            self.fc1 = nn.Conv2d(ch, squeeze, 1)
+            self.relu = nn.ReLU(inplace=True)
+            self.fc2 = nn.Conv2d(squeeze, ch, 1)
+
+        def forward(self, x):
+            s = nn.functional.adaptive_avg_pool2d(x, 1)
+            s = self.fc2(self.relu(self.fc1(s)))
+            return x * nn.functional.hardsigmoid(s)
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, cin, k, exp, cout, se, act, stride):
+            super().__init__()
+            layers = []
+            if exp != cin:
+                layers.append(cba(cin, exp, 1, act=act))
+            layers.append(cba(exp, exp, k, stride, groups=exp, act=act))
+            if se:
+                layers.append(SqueezeExcitation(exp))
+            layers.append(nn.Sequential(
+                nn.Conv2d(exp, cout, 1, bias=False),
+                nn.BatchNorm2d(cout, eps=0.001, momentum=0.01),
+                nn.Identity()))
+            self.block = nn.Sequential(*layers)
+            self.use_res = stride == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.use_res else y
+
+    # (cin, k, exp, cout, se, act, stride) — torchvision mobilenet_v3_large
+    conf = [
+        (16, 3, 16, 16, False, "RE", 1),
+        (16, 3, 64, 24, False, "RE", 2),
+        (24, 3, 72, 24, False, "RE", 1),
+        (24, 5, 72, 40, True, "RE", 2),
+        (40, 5, 120, 40, True, "RE", 1),
+        (40, 5, 120, 40, True, "RE", 1),
+        (40, 3, 240, 80, False, "HS", 2),
+        (80, 3, 200, 80, False, "HS", 1),
+        (80, 3, 184, 80, False, "HS", 1),
+        (80, 3, 184, 80, False, "HS", 1),
+        (80, 3, 480, 112, True, "HS", 1),
+        (112, 3, 672, 112, True, "HS", 1),
+        (112, 5, 672, 160, True, "HS", 2),
+        (160, 5, 960, 160, True, "HS", 1),
+        (160, 5, 960, 160, True, "HS", 1),
+    ]
+
+    class MNv3Large(nn.Module):
+        def __init__(self):
+            super().__init__()
+            stem = nn.Sequential(
+                EfficientConvBlock(in_ch=12, out_ch=16, gamma=2, b=1),
+                nn.BatchNorm2d(16, eps=0.001, momentum=0.01),
+                nn.Hardswish())
+            feats = [stem]
+            feats += [InvertedResidual(*c) for c in conf]
+            feats.append(cba(160, 960, 1, act="HS"))
+            self.features = nn.Sequential(*feats)
+            self.avgpool = nn.AdaptiveAvgPool2d(1)
+            self.classifier = nn.Sequential(
+                nn.Linear(960, 1280), nn.Hardswish(), nn.Dropout(0.2),
+                nn.Linear(1280, 512))
+
+        def forward(self, x):
+            x = self.features(x)
+            return self.classifier(torch.flatten(self.avgpool(x), 1))
+
+    return MNv3Large()
 
 
 def _build_mnv3s_surgery():
