@@ -135,3 +135,16 @@ def test_leaderboard_benchmark_multi_town_e2e(tmp_path):
     assert len(stats._registry) == len(picked)       # every route scored
     assert glob["scores"]["score_composed"] >= 0.0
     backend.close()
+
+
+def test_new_towns_have_routes_and_matched_triggers(annotations):
+    """Town06/07/10HD (the towns beyond the r1 set): route XMLs parse, and
+    their JSON annotations match on-route — full 8-town benchmark surface."""
+    cases = [("routes_town06.xml", "t6_0", "Town06", {"Scenario1"}),
+             ("routes_town07.xml", "t7_0", "Town07", {"Scenario2"}),
+             ("routes_town10hd.xml", "t10_0", "Town10HD", {"Scenario8"})]
+    for xml, rid, town, expect in cases:
+        route = _route(xml, rid)
+        possible = scan_route_for_scenarios(town, route, annotations)
+        names = {d["name"] for defs in possible.values() for d in defs}
+        assert expect <= names, (town, names)
