@@ -31,9 +31,11 @@ def main():
     bench.health_check()
     print("== session up ==", flush=True)
 
+    # ordered cheapest-first so a short recovery window still yields the
+    # highest-value results: stage-0 A/B -> stage-2 profile -> stage-1 A/B
     if not args.skip_ab:
         from tools.bench_sweep import ab_packed_unet
-        ab_packed_unet(windows=args.windows)
+        ab_packed_unet(windows=args.windows, only="stage0")
 
     if not args.skip_profile:
         # ab_packed_unet pops PMOE_PACKED_STEM on exit, so this profiles the
@@ -41,6 +43,10 @@ def main():
         from tools import profile_stage2
         sys.argv = ["profile_stage2", "--batch", "64"]
         profile_stage2.main()
+
+    if not args.skip_ab:
+        from tools.bench_sweep import ab_packed_unet
+        ab_packed_unet(windows=args.windows, only="stage1")
 
 
 if __name__ == "__main__":
