@@ -196,8 +196,11 @@ class UNet(nn.Module):
         # Level 1 runs W-pair-packed on TPU (64 channels = half-empty
         # lanes; see nn/packed.py). The packing is exact and parameter-
         # identical; only used on the even-size pyramid where the torch
-        # output_size matching is the identity.
-        packed = (use_packing(None, image.shape[2])
+        # output_size matching is the identity. PMOE_PACKED_UNET overrides
+        # just this path (PMOE_PACKED_STEM / auto governs otherwise).
+        import os as _os
+        _flag = _os.environ.get("PMOE_PACKED_UNET") or None
+        packed = (use_packing(_flag, image.shape[2])
                   and image.shape[1] % 16 == 0 and image.shape[2] % 16 == 0)
 
         # Contracting path
