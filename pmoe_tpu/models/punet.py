@@ -56,9 +56,12 @@ class _RolloutCell(nn.Module):
         stacked = jnp.moveaxis(buf, 1, 3).reshape(B, H, W, T * K)
         x = EfficientConvBlock(T * K, self.in_features, gamma=self.gamma,
                                b=self.b, name="entry_block", **kw)(stacked, self.train)
+        # packed="auto": the W-pair-packed level 1 is a measured win inside
+        # the rollout (+3.8% stage-1 step on v5e, PERF.md) though it
+        # regresses the standalone stage-0 UNet.
         out = UNet(in_features=self.in_features, out_features=self.num_classes,
                    gamma=self.gamma, b=self.b, inter_repr=self.inter_repr,
-                   name="pred_unet", **kw)(x, self.train)
+                   packed="auto", name="pred_unet", **kw)(x, self.train)
         if self.inter_repr:
             inter, next_mask = out
         else:
@@ -106,7 +109,8 @@ class PredictiveUNet(nn.Module):
 
         seg_unet = UNet(in_features=self.in_features, out_features=self.num_classes,
                         gamma=self.gamma, b=self.b,
-                        inter_repr=self.unet_inter_repr, name="unet", **kw)
+                        inter_repr=self.unet_inter_repr, packed="auto",
+                        name="unet", **kw)
 
         if seg_masks is not None and not seg_only:
             if self.unet_inter_repr:

@@ -170,6 +170,7 @@ class UNet(nn.Module):
     b: int = 1
     dropout: float = 0.0
     inter_repr: bool = False
+    packed: Any = None        # None = context default (off; PU-Net opts in)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -193,13 +194,24 @@ class UNet(nn.Module):
                 x = d(x)
             return x
 
-        # Level 1 runs W-pair-packed on TPU (64 channels = half-empty
-        # lanes; see nn/packed.py). The packing is exact and parameter-
-        # identical; only used on the even-size pyramid where the torch
-        # output_size matching is the identity. PMOE_PACKED_UNET overrides
-        # just this path (PMOE_PACKED_STEM / auto governs otherwise).
+        # Level 1 can run W-pair-packed (64 channels = half-empty lanes;
+        # see nn/packed.py). The packing is exact and parameter-identical;
+        # only used on the even-size pyramid where the torch output_size
+        # matching is the identity. Paired A/B on v5e (PERF.md): packing
+        # WINS inside the PU-Net rollout (+3.8% stage-1 step) but LOSES on
+        # the standalone segmentation step (-6.2% stage-0), so the default
+        # is off and PredictiveUNet opts its sub-UNets in via ``packed=
+        # "auto"``. Overrides: PMOE_PACKED_UNET beats an explicit (non-
+        # auto) PMOE_PACKED_STEM beats the constructor attribute.
         import os as _os
-        _flag = _os.environ.get("PMOE_PACKED_UNET") or None
+        _env = _os.environ.get("PMOE_PACKED_UNET") \
+            or _os.environ.get("PMOE_PACKED_STEM")
+        if _env is not None and _env != "auto":
+            _flag = _env
+        elif self.packed is not None:
+            _flag = self.packed
+        else:
+            _flag = "0"
         packed = (use_packing(_flag, image.shape[2])
                   and image.shape[1] % 16 == 0 and image.shape[2] % 16 == 0)
 
