@@ -105,7 +105,13 @@ class PackedBN(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xp: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, xp: jnp.ndarray, train: bool = False,
+                 affine_only: bool = False) -> jnp.ndarray:
+        """``affine_only=True`` computes/updates the statistics exactly as
+        the normal path but returns the folded per-channel affine
+        ``[3, 2C] = (mean, scale/sqrt(var+eps), bias)`` instead of applying
+        it — the fused Pallas pool (ops/pool_pallas.fused_packed_pool_bn)
+        applies it in-register. Param/stat tree is identical either way."""
         C = self.features
         scale = self.param("scale", nn.initializers.ones, (C,),
                            self.param_dtype)
@@ -130,8 +136,11 @@ class PackedBN(nn.Module):
         mean2 = jnp.concatenate([mean, mean])
         mul = lax.rsqrt(jnp.concatenate([var, var]) + 1e-5)
         mul = mul * jnp.concatenate([scale, scale]).astype(jnp.float32)
+        bias2 = jnp.concatenate([bias, bias]).astype(jnp.float32)
+        if affine_only:
+            return jnp.stack([mean2, mul, bias2])
         y = (xp - mean2) * mul
-        y = y + jnp.concatenate([bias, bias]).astype(jnp.float32)
+        y = y + bias2
         return y.astype(self.dtype)
 
 

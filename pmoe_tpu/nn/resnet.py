@@ -67,7 +67,12 @@ class _PackedStem(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xp: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, xp: jnp.ndarray, train: bool = False,
+                 defer_last_bn: bool = False):
+        """``defer_last_bn=True`` stops after the last conv and returns
+        ``(raw conv output, bn_1 affine [3, 2C])`` so the caller can fuse
+        the trailing BN+ReLU epilogues into the Pallas pool kernel. The
+        param/stat tree is identical to the normal path."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         for i, (c_in, c_out) in enumerate(
             [(self.in_channels, self.hidden),
@@ -76,6 +81,10 @@ class _PackedStem(nn.Module):
             xp = _PackedECA(c_in, self.gamma, self.b, name=f"eca_{i}",
                             **kw)(xp)
             xp = _PackedConv3(c_in, c_out, name=f"conv_{i}", **kw)(xp)
+            if defer_last_bn and i == 1:
+                aff = _PackedBN(c_out, name=f"bn_{i}", **kw)(
+                    xp, train, affine_only=True)
+                return xp, aff
             xp = _PackedBN(c_out, name=f"bn_{i}", **kw)(xp, train)
             xp = nn.relu(xp)
         return xp
@@ -262,25 +271,46 @@ class ResNetBackbone(nn.Module):
         if _use_packed_stem(self.packed_stem, x.shape[2]):
             B, H, W, Cin = x.shape
             xp = x.reshape(B, H, W // 2, 2 * Cin)      # free: W,C adjacent
-            xp = _PackedStem(self.in_channels, 64, gamma=self.gamma,
-                             b=self.b, name="stem", **kw)(xp, train)
-            xp = nn.relu(_PackedBN(64, name="bn1", **kw)(xp, train))
             # Stay packed through layer1 (64 channels = half-empty lanes
             # unpacked) when the pooled width still splits evenly; the
             # repack is a free reshape (W, C adjacent). At production
             # shapes on TPU the pool itself is a fused Pallas kernel
-            # (packed in -> packed out, one pass each way).
+            # (packed in -> packed out, one pass each way), and the two
+            # trailing BN+ReLU epilogues (stem bn_1 + torchvision bn1) are
+            # applied inside it so their full-resolution outputs are never
+            # materialized: BN statistics stay in XLA (reductions over the
+            # raw conv output / its recomputed relu image), the kernel gets
+            # the folded per-channel affines.
             from ..ops.pool_pallas import (fused_packed_pool,
+                                           fused_packed_pool_bn,
+                                           pallas_pool_bn_supported,
                                            pallas_pool_supported)
             packed_layer1 = (spec["block"] == "basic"
-                             and xp.shape[2] % 2 == 0)
-            if packed_layer1 and pallas_pool_supported(xp.shape):
-                x = fused_packed_pool(xp)
+                             and (x.shape[2] // 2) % 2 == 0)
+            pool_shape = (B, H, W // 2, 128)
+            if packed_layer1 and pallas_pool_bn_supported(pool_shape):
+                y, aff0 = _PackedStem(self.in_channels, 64, gamma=self.gamma,
+                                      b=self.b, name="stem", **kw)(
+                                          xp, train, defer_last_bn=True)
+                # bn1's batch statistics read the recomputed bn_1+relu
+                # image of y (fuses into the stat reduction; never stored)
+                t1x = nn.relu(
+                    ((y.astype(jnp.float32) - aff0[0]) * aff0[1]
+                     + aff0[2]).astype(y.dtype))
+                aff1 = _PackedBN(64, name="bn1", **kw)(
+                    t1x, train, affine_only=True)
+                x = fused_packed_pool_bn(y, jnp.stack([aff0, aff1]))
             else:
-                x = _packed_maxpool_3x3s2(xp, 64)
-                if packed_layer1:
-                    Bp, Hp, Wp, Cp = x.shape
-                    x = x.reshape(Bp, Hp, Wp // 2, 2 * Cp)
+                xp = _PackedStem(self.in_channels, 64, gamma=self.gamma,
+                                 b=self.b, name="stem", **kw)(xp, train)
+                xp = nn.relu(_PackedBN(64, name="bn1", **kw)(xp, train))
+                if packed_layer1 and pallas_pool_supported(xp.shape):
+                    x = fused_packed_pool(xp)
+                else:
+                    x = _packed_maxpool_3x3s2(xp, 64)
+                    if packed_layer1:
+                        Bp, Hp, Wp, Cp = x.shape
+                        x = x.reshape(Bp, Hp, Wp // 2, 2 * Cp)
         else:
             x = EfficientConvBlock(self.in_channels, 64, gamma=self.gamma,
                                    b=self.b, name="stem", **kw)(x, train)

@@ -49,12 +49,7 @@ def _pick_th(h2: int) -> int:
     return 1
 
 
-def pallas_pool_supported(shape) -> bool:
-    """(B, H, W2, 2C) poolable by the fused kernel?"""
-    if os.environ.get("PMOE_FUSED_POOL", "1") != "1":
-        return False
-    if jax.default_backend() != "tpu":
-        return False
+def _pool_shape_ok(shape) -> bool:
     if len(shape) != 4:
         return False
     _, H, W2, C2 = shape
@@ -62,21 +57,32 @@ def pallas_pool_supported(shape) -> bool:
             and (H // 2) % 2 == 0)
 
 
+def pallas_pool_supported(shape) -> bool:
+    """(B, H, W2, 2C) poolable by the fused kernel?"""
+    if os.environ.get("PMOE_FUSED_POOL", "1") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return _pool_shape_ok(shape)
+
+
+def pallas_pool_bn_supported(shape) -> bool:
+    """Gate for the BN+ReLU-epilogue variant (``fused_packed_pool_bn``).
+    "force" enables it off-TPU (interpret mode) for tests."""
+    flag = os.environ.get("PMOE_FUSED_POOL_BN", "1")
+    if flag == "force":
+        return _pool_shape_ok(shape)
+    return flag == "1" and pallas_pool_supported(shape)
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(cur_ref, halo_ref, out_ref, idx_ref, *, th: int, w2: int,
-                c: int):
-    t = pl.program_id(1)
-    # f32 in-register: Mosaic's sublane rotate needs 32-bit data, and
-    # bf16 -> f32 is exact so comparisons match the XLA bf16 path
-    cur = cur_ref[0].astype(jnp.float32)                 # [2*th, W2, 2C]
-    halo = halo_ref[0].astype(jnp.float32)               # [1, W2, 2C]
-    halo = jnp.where(t > 0, halo, jnp.full_like(halo, NEG))
-    x = jnp.concatenate([halo, cur], axis=0)             # [2*th+1, W2, 2C]
-
+def _pool_core(x, *, th: int, w2: int, c: int):
+    """Shared W-then-H max + argmax-code on the assembled [2*th+1, W2, 2C]
+    f32 block (row 0 = top halo)."""
     r0 = x[:, :, :c]                                     # parity 0
     r1 = x[:, :, c:]                                     # parity 1
     # left parity 1: shift right by one W2 column, -inf in column 0.
@@ -108,11 +114,55 @@ def _fwd_kernel(cur_ref, halo_ref, out_ref, idx_ref, *, th: int, w2: int,
     ia, ib, ic = _eo(widx)
     code = jnp.where(a == out, ia,
                      jnp.where(b2 == out, ib + 3, ic + 6))
+    return out, code
+
+
+def _fwd_kernel(cur_ref, halo_ref, out_ref, idx_ref, *, th: int, w2: int,
+                c: int):
+    t = pl.program_id(1)
+    # f32 in-register: Mosaic's sublane rotate needs 32-bit data, and
+    # bf16 -> f32 is exact so comparisons match the XLA bf16 path
+    cur = cur_ref[0].astype(jnp.float32)                 # [2*th, W2, 2C]
+    halo = halo_ref[0].astype(jnp.float32)               # [1, W2, 2C]
+    halo = jnp.where(t > 0, halo, jnp.full_like(halo, NEG))
+    x = jnp.concatenate([halo, cur], axis=0)             # [2*th+1, W2, 2C]
+
+    out, code = _pool_core(x, th=th, w2=w2, c=c)
 
     # Output stays UNPACKED [th, W2, C]: the repack reshape moves sublane
     # pairs into lanes, which Mosaic cannot shape-cast in-register
     # ("unsupported shape cast"); the caller repacks with a cheap XLA
     # reshape instead.
+    out_ref[0] = out.astype(out_ref.dtype)
+    idx_ref[0] = code.astype(jnp.int8)
+
+
+def _bn2_relu(x, aff, store_dtype):
+    """The two deferred stem epilogues on raw conv output (f32 in-register):
+    t1 = relu(cast((x - m0)*s0 + b0)), t2 = relu(cast((t1 - m1)*s1 + b1)),
+    with ``cast`` rounding through the production activation dtype exactly
+    as the canonical PackedBN -> nn.relu chain does (no-op for f32)."""
+    u0 = (x - aff[0, 0]) * aff[0, 1] + aff[0, 2]
+    t1 = jnp.maximum(u0.astype(store_dtype).astype(jnp.float32), 0.0)
+    u1 = (t1 - aff[1, 0]) * aff[1, 1] + aff[1, 2]
+    t2 = jnp.maximum(u1.astype(store_dtype).astype(jnp.float32), 0.0)
+    return t1, t2
+
+
+def _fwd_bn_kernel(cur_ref, halo_ref, aff_ref, out_ref, idx_ref, *, th: int,
+                   w2: int, c: int):
+    t = pl.program_id(1)
+    cur = cur_ref[0].astype(jnp.float32)                 # raw conv rows
+    halo = halo_ref[0].astype(jnp.float32)
+    x = jnp.concatenate([halo, cur], axis=0)             # [2*th+1, W2, 2C]
+    aff = aff_ref[...].astype(jnp.float32)               # [2, 3, 2C]
+    _, x = _bn2_relu(x, aff, cur_ref.dtype)
+    # mask the top halo AFTER the epilogue (the affine of a -inf sentinel
+    # would produce +/-inf depending on the sign of the BN scale)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    x = jnp.where((row == 0) & (t == 0), jnp.asarray(NEG, x.dtype), x)
+
+    out, code = _pool_core(x, th=th, w2=w2, c=c)
     out_ref[0] = out.astype(out_ref.dtype)
     idx_ref[0] = code.astype(jnp.int8)
 
@@ -154,13 +204,56 @@ def _pool_fwd_impl(xp: jnp.ndarray):
     return out.reshape(B, h2, W2 // 2, C2), idx
 
 
+def _pool_bn_fwd_impl(y: jnp.ndarray, aff: jnp.ndarray):
+    """BN+ReLU epilogue (x2) + pool: y is the RAW stem conv output
+    [B, H, W2, 2C]; aff is [2, 3, 2C] f32 = per-layer (mean, scale/std,
+    bias) duplicated over the packed halves."""
+    B, H, W2, C2 = y.shape
+    c = C2 // 2
+    h2 = H // 2
+    th = _pick_th(h2)
+    grid = (B, h2 // th)
+
+    def cur_map(b, t):
+        return (b, t, 0, 0)
+
+    def halo_map(b, t):
+        return (b, jnp.maximum(2 * th * t - 1, 0), 0, 0)
+
+    def aff_map(b, t):
+        return (0, 0, 0)
+
+    out, idx = pl.pallas_call(
+        functools.partial(_fwd_bn_kernel, th=th, w2=W2, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2 * th, W2, C2), cur_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W2, C2), halo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3, C2), aff_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, W2, c), cur_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, W2, c), cur_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, h2, W2, c), y.dtype),
+            jax.ShapeDtypeStruct((B, h2, W2, c), jnp.int8),
+        ],
+        interpret=_interpret(),
+    )(y, y, aff.astype(jnp.float32))
+    return out.reshape(B, h2, W2 // 2, C2), idx
+
+
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(g_ref, i_ref, gn_ref, in_ref, din_ref, *, th: int, w2: int,
-                c: int):
+def _scatter_core(g_ref, i_ref, gn_ref, in_ref, *, th: int, w2: int, c: int):
+    """Shared pool-gradient scatter: route each output element's gradient to
+    its argmax input position; returns the full-res [2*th, W2, 2C] f32 block
+    of gradients w.r.t. the POOL INPUT rows of this grid cell."""
     t = pl.program_id(1)
     last = pl.num_programs(1) - 1
     gp = g_ref[0].astype(jnp.float32)                    # [th, W2, C]
@@ -204,7 +297,35 @@ def _bwd_kernel(g_ref, i_ref, gn_ref, in_ref, din_ref, *, th: int, w2: int,
     even = jnp.concatenate([e0, e1], axis=-1)            # [th, W2, 2C]
     odd = jnp.concatenate([o0, o1], axis=-1)
     inter = jnp.stack([even, odd], axis=1)               # [th, 2, W2, 2C]
-    din_ref[0] = inter.reshape(2 * th, w2, 2 * c).astype(din_ref.dtype)
+    return inter.reshape(2 * th, w2, 2 * c)
+
+
+def _bwd_kernel(g_ref, i_ref, gn_ref, in_ref, din_ref, *, th: int, w2: int,
+                c: int):
+    din_ref[0] = _scatter_core(g_ref, i_ref, gn_ref, in_ref, th=th, w2=w2,
+                               c=c).astype(din_ref.dtype)
+
+
+def _bwd_bn_kernel(g_ref, i_ref, gn_ref, in_ref, y_ref, aff_ref, din_ref,
+                   part_ref, *, th: int, w2: int, c: int):
+    """Scatter + the two deferred epilogues' backward: recompute the ReLU
+    masks and BN-input offsets from the saved raw conv rows, emit the
+    gradient w.r.t. the conv output plus per-channel partial sums for the
+    affine gradients (summed and unfolded outside)."""
+    gt2 = _scatter_core(g_ref, i_ref, gn_ref, in_ref, th=th, w2=w2, c=c)
+    y = y_ref[0].astype(jnp.float32)                     # [2*th, W2, 2C]
+    aff = aff_ref[...].astype(jnp.float32)               # [2, 3, 2C]
+    t1, t2 = _bn2_relu(y, aff, y_ref.dtype)
+    # relu subgradient: 0 at exact zeros (same first-match philosophy as the
+    # pool's argmax; XLA's even tie-split differs only on exact ties)
+    gu1 = jnp.where(t2 > 0, gt2, 0.0)
+    r1 = jnp.sum(gu1 * (t1 - aff[1, 0]), axis=(0, 1))    # d scale1 (folded)
+    r2 = jnp.sum(gu1, axis=(0, 1))                       # d bias1
+    gu0 = jnp.where(t1 > 0, gu1 * aff[1, 1], 0.0)
+    r3 = jnp.sum(gu0 * (y - aff[0, 0]), axis=(0, 1))     # d scale0
+    r4 = jnp.sum(gu0, axis=(0, 1))                       # d bias0
+    din_ref[0] = (gu0 * aff[0, 1]).astype(din_ref.dtype)
+    part_ref[0, 0] = jnp.stack([r1, r2, r3, r4])
 
 
 def _pool_bwd_impl(xshape, g, idx):
@@ -242,6 +363,56 @@ def _pool_bwd_impl(xshape, g, idx):
     )(gu, idx, gu, idx)
 
 
+def _pool_bn_bwd_impl(y, aff, g, idx):
+    B, H, W2, C2 = y.shape
+    c = C2 // 2
+    h2 = H // 2
+    th = _pick_th(h2)
+    nt = h2 // th
+    grid = (B, nt)
+
+    def cur_map(b, t):
+        return (b, t, 0, 0)
+
+    def next_map(b, t):
+        return (b, jnp.minimum(th * t + th, h2 - 1), 0, 0)
+
+    def din_map(b, t):
+        return (b, t, 0, 0)
+
+    def aff_map(b, t):
+        return (0, 0, 0)
+
+    def part_map(b, t):
+        return (b, t, 0, 0)
+
+    gu = g.reshape(B, h2, W2, c)
+    din, parts = pl.pallas_call(
+        functools.partial(_bwd_bn_kernel, th=th, w2=W2, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, W2, c), cur_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, W2, c), cur_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W2, c), next_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W2, c), next_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * th, W2, C2), din_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3, C2), aff_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2 * th, W2, C2), din_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4, C2), part_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W2, C2), y.dtype),
+            jax.ShapeDtypeStruct((B, nt, 4, C2), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(gu, idx, gu, idx, y, aff.astype(jnp.float32))
+    return din, parts
+
+
 # ---------------------------------------------------------------------------
 # public op
 # ---------------------------------------------------------------------------
@@ -267,3 +438,58 @@ def _fpp_bwd(idx, g):
 
 
 fused_packed_pool.defvjp(_fpp_fwd, _fpp_bwd)
+
+
+@jax.custom_vjp
+def fused_packed_pool_bn(y: jnp.ndarray, aff: jnp.ndarray) -> jnp.ndarray:
+    """The stem's two deferred BatchNorm-affine + ReLU epilogues fused into
+    the 3x3/2 max-pool: reads the RAW stem conv output once and writes the
+    pooled result, so the two full-resolution post-BN tensors are never
+    materialized in HBM (they were the stage-2 step's largest HBM-bound
+    loop fusions — see PERF.md).
+
+    y:   [B, H, W2, 2C] raw conv output (W-pair-packed)
+    aff: [2, 3, 2C] f32 — per BN layer (batch mean, scale/sqrt(var+eps),
+         bias), duplicated over the packed halves; computed by PackedBN in
+         ``affine_only`` mode so BN statistics (and their gradient paths)
+         stay in XLA.
+    Returns the packed pooled tensor [B, H/2, W2/2, 2C].
+    """
+    out, _ = _pool_bn_fwd_impl(_lead_bdim(y), _lead_bdim(aff))
+    return out
+
+
+def _lead_bdim(x):
+    """Free reshape round-trip that forces a vmap batch dim to the front.
+
+    Under the MoE's expert ``nn.vmap`` the raw conv output reaches this op
+    with its batch dim at an interior position (the conv batching rule
+    parks it next to the feature dim); pallas_call's auto-batching then
+    inserts the grid dim there, violating Mosaic's rule that the last two
+    block dims be full/tile-divisible. A genuine reshape (identity reshapes
+    short-circuit in lax) moves the batch dim to axis 0 — exactly what the
+    old pool path got for free from its repack reshape. Outside vmap both
+    reshapes are metadata-only."""
+    b, *rest = x.shape
+    return x.reshape(b, -1).reshape(b, *rest)
+
+
+def _fppbn_fwd(y, aff):
+    out, idx = _pool_bn_fwd_impl(_lead_bdim(y), _lead_bdim(aff))
+    return out, (y, aff, idx)
+
+
+def _fppbn_bwd(res, g):
+    y, aff, idx = res
+    din, parts = _pool_bn_bwd_impl(_lead_bdim(y), _lead_bdim(aff), g,
+                                   _lead_bdim(idx))
+    p = jnp.sum(parts, axis=(0, 1))                       # [4, 2C]
+    # d mean = -scale * d bias (per channel); order in aff is (m, s, b)
+    daff = jnp.stack([
+        jnp.stack([-aff[0, 1] * p[3], p[2], p[3]]),
+        jnp.stack([-aff[1, 1] * p[1], p[0], p[1]]),
+    ]).astype(aff.dtype)
+    return din, daff
+
+
+fused_packed_pool_bn.defvjp(_fppbn_fwd, _fppbn_bwd)

@@ -91,11 +91,15 @@ def time_variant(name, model, B, *, steps=10, **kw):
     return dt
 
 
-def ab_packed_stem(B: int = 64, windows: int = 5, steps: int = 10):
-    """Paired interleaved A/B of the stage-2 train step with the canonical
-    vs the W-pair-packed ResNet stem (pmoe_tpu/nn/resnet.py). Both variants
-    are compiled up front, then timed in alternating windows so relay-load
-    drift hits both equally; the per-window ratio is the signal."""
+def ab_packed_stem(B: int = 64, windows: int = 5, steps: int = 10,
+                   var: str = "PMOE_PACKED_STEM",
+                   variants=(("unpacked", "0"), ("packed", "1")),
+                   base_env: dict | None = None):
+    """Paired interleaved A/B of the stage-2 train step toggling one env
+    knob (default: canonical vs the W-pair-packed ResNet stem). Both
+    variants are compiled up front, then timed in alternating windows so
+    relay-load drift hits both equally; the per-window ratio is the
+    signal. ``base_env`` pins other knobs for both variants."""
     import os
 
     rng = jax.random.PRNGKey(0)
@@ -106,9 +110,12 @@ def ab_packed_stem(B: int = 64, windows: int = 5, steps: int = 10):
     cfg = bench._moe_cfg()
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
 
+    for k, val in (base_env or {}).items():
+        os.environ[k] = val
+    labels = [l for l, _ in variants]
     state, steps_fn, flops = {}, {}, {}
-    for label, flag in (("unpacked", "0"), ("packed", "1")):
-        os.environ["PMOE_PACKED_STEM"] = flag
+    for label, flag in variants:
+        os.environ[var] = flag
         model = get_model(cfg, dtype=jnp.bfloat16)
         v = jit_init(model, {"params": rng}, img[:2].astype(jnp.float32),
                      spd[:2], cmd[:2])
@@ -125,11 +132,13 @@ def ab_packed_stem(B: int = 64, windows: int = 5, steps: int = 10):
         _ = float(loss)                          # compile barrier
         state[label] = (params, bs, opt)
         steps_fn[label] = step
-    os.environ.pop("PMOE_PACKED_STEM", None)
+    os.environ.pop(var, None)
+    for k in (base_env or {}):
+        os.environ.pop(k, None)
 
-    times = {"unpacked": [], "packed": []}
+    times = {l: [] for l in labels}
     for w in range(windows):
-        for label in ("unpacked", "packed"):
+        for label in labels:
             params, bs, opt = state[label]
             step = steps_fn[label]
             t0 = time.perf_counter()
@@ -140,17 +149,26 @@ def ab_packed_stem(B: int = 64, windows: int = 5, steps: int = 10):
             _ = float(loss)
             times[label].append((time.perf_counter() - t0) / steps)
             state[label] = (params, bs, opt)
-    for label in ("unpacked", "packed"):
+    for label in labels:
         best = min(times[label])
         f = flops[label]
         mfu = f / best / 197e12 if f > 0 else -1
-        print(f"{label:10s} best {best * 1e3:7.1f} ms/step "
+        print(f"{label:14s} best {best * 1e3:7.1f} ms/step "
               f"({1 / best:.3f} steps/s)  {f / 1e12:6.2f} TF  MFU={mfu:.3f}  "
               f"windows={[round(t * 1e3, 1) for t in times[label]]}",
               flush=True)
-    ratios = [u / p for u, p in zip(times["unpacked"], times["packed"])]
-    print(f"paired speedup (unpacked/packed) per window: "
+    ratios = [u / p for u, p in zip(times[labels[0]], times[labels[1]])]
+    print(f"paired speedup ({labels[0]}/{labels[1]}) per window: "
           f"{[round(r, 3) for r in ratios]}  median={np.median(ratios):.3f}")
+
+
+def ab_bn_pool(B: int = 64, windows: int = 5, steps: int = 10):
+    """Paired A/B: XLA BN+ReLU epilogues + fused pool vs the BN+ReLU
+    epilogues fused INTO the Pallas pool (ops/pool_pallas.py
+    fused_packed_pool_bn). Packed stem pinned on for both variants."""
+    ab_packed_stem(B, windows, steps, var="PMOE_FUSED_POOL_BN",
+                   variants=(("xla-epilogue", "0"), ("fused-bn-pool", "1")),
+                   base_env={"PMOE_PACKED_STEM": "1"})
 
 
 def ab_packed_unet(windows: int = 5, only: str = ""):
@@ -326,6 +344,9 @@ def main():
                     help="paired A/B: canonical vs W-pair-packed stem")
     ap.add_argument("--ab-unet", action="store_true",
                     help="paired A/B: canonical vs W-pair-packed UNet level 1")
+    ap.add_argument("--ab-bn-pool", action="store_true",
+                    help="paired A/B: XLA epilogues vs BN+ReLU fused into "
+                         "the Pallas pool")
     ap.add_argument("--only", default="",
                     help="restrict --ab-unet to one stage (stage0|stage1)")
     args = ap.parse_args()
@@ -338,6 +359,9 @@ def main():
         return
     if args.ab_unet:
         ab_packed_unet(only=args.only)
+        return
+    if args.ab_bn_pool:
+        ab_bn_pool(args.batch)
         return
     B = args.batch
     cfg = bench._moe_cfg()

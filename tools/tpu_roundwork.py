@@ -4,10 +4,13 @@ The tunneled relay charges minutes of session init and wedges ~8 min if a
 client is killed, so batch every pending measurement into ONE process
 (see memory: axon-relay-session-discipline):
 
-  1. paired A/B of the W-pair-packed UNet level 1 (stage-0 and stage-1)
-  2. hlo_stats profile of the stage-2 train step (post-pool-kernel top ops)
+  1. paired A/B of the BN+ReLU epilogues fused into the Pallas pool
+     (fused_packed_pool_bn) vs the XLA epilogue chain, stage-2 batch 64
+  2. (--ab / --profile flags retain the earlier UNet-packing A/B and the
+     stage-2 hlo_stats profile)
 
 Usage: python -u tools/tpu_roundwork.py [--skip-ab] [--skip-profile]
+                                        [--unet-ab]
 """
 
 from __future__ import annotations
@@ -25,6 +28,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-ab", action="store_true")
     ap.add_argument("--skip-profile", action="store_true")
+    ap.add_argument("--unet-ab", action="store_true",
+                    help="also rerun the UNet-packing A/B (already measured)")
     ap.add_argument("--windows", type=int, default=5)
     args = ap.parse_args()
 
@@ -32,20 +37,21 @@ def main():
     print("== session up ==", flush=True)
 
     # ordered cheapest-first so a short recovery window still yields the
-    # highest-value results: stage-0 A/B -> stage-2 profile -> stage-1 A/B
+    # highest-value results
     if not args.skip_ab:
-        from tools.bench_sweep import ab_packed_unet
-        ab_packed_unet(windows=args.windows, only="stage0")
+        from tools.bench_sweep import ab_bn_pool
+        ab_bn_pool(windows=args.windows)
 
     if not args.skip_profile:
-        # ab_packed_unet pops PMOE_PACKED_STEM on exit, so this profiles the
-        # production (auto: packed-on-TPU) stage-2 graph
+        # profiles the production stage-2 graph (packed stem + fused
+        # BN-pool, both auto-on for TPU)
         from tools import profile_stage2
         sys.argv = ["profile_stage2", "--batch", "64"]
         profile_stage2.main()
 
-    if not args.skip_ab:
+    if args.unet_ab:
         from tools.bench_sweep import ab_packed_unet
+        ab_packed_unet(windows=args.windows, only="stage0")
         ab_packed_unet(windows=args.windows, only="stage1")
 
 
