@@ -56,9 +56,17 @@ _NPARAM = 24              # per-image parameter columns (padded for alignment)
  _CON_R, _CON_G, _CON_B, _GRAY_A) = range(18)
 
 
-def pallas_aug_supported(b: int, hw: int) -> bool:
-    """Kernel eligibility: full 8-image tiles and a lane-friendly split."""
-    return b % _ROWS == 0 and hw % 8 == 0 and jax.default_backend() == "tpu"
+def _rows_for(dtype) -> int:
+    """Images per grid step = the sublane tile of the plane dtype (8 for
+    4-byte, 16 for 2-byte): Mosaic requires block sublanes to be
+    tile-divisible or full."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else _ROWS
+
+
+def pallas_aug_supported(b: int, hw: int, dtype=jnp.float32) -> bool:
+    """Kernel eligibility: full image-row tiles and a lane-friendly split."""
+    return (b % _rows_for(dtype) == 0 and hw % 8 == 0
+            and jax.default_backend() == "tpu")
 
 
 def _u24_to_f32(bits_u32):
@@ -108,7 +116,10 @@ def _aug_kernel(seed_ref, params_ref, r_ref, g_ref, b_ref,
     h_idx = p_idx // width
     w_idx = p_idx - h_idx * width
 
-    chans = [r_ref[:], g_ref[:], b_ref[:]]
+    # compute in f32 regardless of the storage dtype (bf16 planes on the
+    # production path halve the kernel's HBM traffic; math stays f32)
+    chans = [r_ref[:].astype(jnp.float32), g_ref[:].astype(jnp.float32),
+             b_ref[:].astype(jnp.float32)]
 
     # -- AdditiveGaussianNoise (scale in 0-255 units / 255) ------------------
     z_shared = _normal(shape)
@@ -126,7 +137,7 @@ def _aug_kernel(seed_ref, params_ref, r_ref, g_ref, b_ref,
     ix = jnp.clip((w_idx.astype(jnp.float32) * gx * (1.0 / width))
                   .astype(jnp.int32), 0, _GRID - 1)
     img_salt = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                + i * _ROWS) * jnp.int32(7919) + seed_ref[0]
+                + i * r_ref.shape[0]) * jnp.int32(7919) + seed_ref[0]
     cell = iy * _GRID + ix
     coarse_p = col(_COARSE_P)
     coarse_pc = col(_COARSE_PC)
@@ -158,7 +169,7 @@ def _aug_kernel(seed_ref, params_ref, r_ref, g_ref, b_ref,
     alpha = col(_GRAY_A)
     lum = 0.299 * chans[0] + 0.587 * chans[1] + 0.114 * chans[2]
     for c, out in enumerate((ro_ref, go_ref, bo_ref)):
-        out[:] = chans[c] * (1.0 - alpha) + lum * alpha
+        out[:] = (chans[c] * (1.0 - alpha) + lum * alpha).astype(out.dtype)
 
 
 def _resolve_channel_values(key, b, low, high, pc_prob):
@@ -256,13 +267,14 @@ def fused_augment_chain(key, images, f, *, grayscale: bool = True,
                               0, np.int32(2 ** 31 - 1), dtype=jnp.int32)
 
     planes = [images[..., c].reshape(b, hw) for c in range(3)]
+    rows = _rows_for(images.dtype)
     tile = hw // 8 if hw % 8 == 0 else hw
-    grid = (b // _ROWS, hw // tile)
+    grid = (b // rows, hw // tile)
     # NB: with num_scalar_prefetch=1 the index_map also receives the scalar
     # ref as a trailing argument
-    img_spec = pl.BlockSpec((_ROWS, tile), lambda i, j, *_: (i, j),
+    img_spec = pl.BlockSpec((rows, tile), lambda i, j, *_: (i, j),
                             memory_space=pltpu.VMEM)
-    par_spec = pl.BlockSpec((_ROWS, _NPARAM), lambda i, j, *_: (i, 0),
+    par_spec = pl.BlockSpec((rows, _NPARAM), lambda i, j, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_aug_kernel, tile=tile, width=W, height=H)
     out = pl.pallas_call(
@@ -273,7 +285,7 @@ def fused_augment_chain(key, images, f, *, grayscale: bool = True,
             in_specs=[par_spec, img_spec, img_spec, img_spec],
             out_specs=(img_spec, img_spec, img_spec),
         ),
-        out_shape=tuple(jax.ShapeDtypeStruct((b, hw), jnp.float32)
+        out_shape=tuple(jax.ShapeDtypeStruct((b, hw), images.dtype)
                         for _ in range(3)),
     )(seed, params, *planes)
     return jnp.stack([o.reshape(b, H, W) for o in out], axis=-1)

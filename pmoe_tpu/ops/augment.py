@@ -33,7 +33,7 @@ AUG_TYPES = ("medium", "soft", "high", "medium_harder", "super_hard",
              "soft_harder", "custom", "segmentation", "none")
 
 
-def _finish(x: jnp.ndarray, orig_shape) -> jnp.ndarray:
+def _finish(x: jnp.ndarray, orig_shape, dtype=None) -> jnp.ndarray:
     """Clip + restore shape + OPTIMIZATION BARRIER.
 
     The barrier materializes the augmented batch before the model consumes
@@ -44,6 +44,8 @@ def _finish(x: jnp.ndarray, orig_shape) -> jnp.ndarray:
     the train step pays exactly that.
     """
     x = jnp.clip(x, 0.0, 1.0).reshape(orig_shape)
+    if dtype is not None:
+        x = x.astype(dtype)
     return jax.lax.optimization_barrier(x)
 
 
@@ -121,6 +123,16 @@ def augment(rng: jax.Array, images: jnp.ndarray, image_iteration,
     orig_shape = images.shape
     if images.ndim == 5:
         images = images.reshape(-1, *orig_shape[-3:])
+    import os
+    _bf16 = os.environ.get("PMOE_AUG_BF16", "1")
+    if _bf16 == "force" or (_bf16 == "1"
+                            and jax.default_backend() == "tpu"):
+        # bf16 image compute on TPU: halves the HBM traffic of every pass
+        # (blur, gates, fused chain, the barrier materialization and the
+        # model's first cast). bf16 resolution at 1.0 (2^-8) is the same
+        # order as the 8-bit source quantization (1/255), and the model
+        # consumes the batch in bf16 anyway. PMOE_AUG_BF16=0 restores f32.
+        images = images.astype(jnp.bfloat16)
     b = images.shape[0]
     zeros = jnp.zeros((b,), jnp.float32)
 
@@ -138,7 +150,7 @@ def augment(rng: jax.Array, images: jnp.ndarray, image_iteration,
             ks[7], x, _u(ks[7], b, 0.0, 0.05), 1.0))
         x = _sometimes(ks[8], 0.2, x, I.linear_contrast(
             ks[9], x, _u(ks[9], b, 0.6, 1.4), _u(ks[8], b, 0.6, 1.4), 1.0))
-        return _finish(x, orig_shape)
+        return _finish(x, orig_shape, images.dtype)
 
     f = schedule_factors(aug_type, image_iteration, bsz)
     x = images
@@ -155,17 +167,15 @@ def augment(rng: jax.Array, images: jnp.ndarray, image_iteration,
     # are VPU-bound on per-pixel randomness, and XLA fuses its chain well.
     # Kept as default for the single-pass memory profile; PMOE_FUSED_AUG=0
     # restores the op-by-op XLA path.
-    import os
-
     from .aug_pallas import fused_augment_chain, pallas_aug_supported
 
     if os.environ.get("PMOE_FUSED_AUG", "1") == "1" \
-            and pallas_aug_supported(b, x.shape[1] * x.shape[2]):
+            and pallas_aug_supported(b, x.shape[1] * x.shape[2], x.dtype):
         x = fused_augment_chain(
             ks[2], x, f,
             grayscale=aug_type not in ("super_hard", "custom"),
             custom=aug_type == "custom")
-        return _finish(x, orig_shape)
+        return _finish(x, orig_shape, images.dtype)
     # AdditiveGaussianNoise(scale=(0, dropout), per_channel=color)
     x = _sometimes(ks[2], f.freq, x, I.additive_gaussian_noise(
         ks[3], x, _u(ks[4], b, zeros, f.dropout), f.color))
@@ -199,4 +209,4 @@ def augment(rng: jax.Array, images: jnp.ndarray, image_iteration,
             # (reference augmenter.py:149,227,305,383,607 vs :465,:529)
             x = _sometimes(ks[17], f.freq, x, I.grayscale(ks[17], x, 0.0, 1.0))
 
-    return _finish(x, orig_shape)
+    return _finish(x, orig_shape, images.dtype)

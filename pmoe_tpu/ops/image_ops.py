@@ -44,17 +44,19 @@ def gaussian_blur(images: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     h, wd = images.shape[1], images.shape[2]
     taps = 2 * _BLUR_RADIUS + 1
 
-    # vertical: sum_j w[:, j] * x_pad[:, j : j+H]  (zero padding = conv)
-    xp = jnp.pad(images, ((0, 0), (pad, pad), (0, 0), (0, 0)))
-    out = jnp.zeros_like(images)
-    for j in range(taps):
-        out = out + w[:, j, None, None, None] * xp[:, j:j + h]
-    # horizontal
-    xp = jnp.pad(out, ((0, 0), (0, 0), (pad, pad), (0, 0)))
-    out = jnp.zeros_like(images)
-    for j in range(taps):
-        out = out + w[:, j, None, None, None] * xp[:, :, j:j + wd]
-    return out
+    # Accumulate in f32 but store in the input dtype: on the TPU bf16
+    # augmentation path this halves the two passes' HBM traffic while the
+    # tap sum keeps full precision (f32 input is bit-identical to before).
+    def _pass(x, axis):
+        xp = jnp.pad(x, [(pad, pad) if a == axis else (0, 0)
+                         for a in range(4)])
+        acc = jnp.zeros(x.shape, jnp.float32)
+        for j in range(taps):
+            sl = xp[:, j:j + h] if axis == 1 else xp[:, :, j:j + wd]
+            acc = acc + w[:, j, None, None, None] * sl.astype(jnp.float32)
+        return acc.astype(x.dtype)
+
+    return _pass(_pass(images, 1), 2)
 
 
 def _maybe_per_channel(key, shape_bc, pc_prob):

@@ -132,3 +132,27 @@ def test_augment_applies_factor_magnitudes(recorded):
     # Add(+-30/255) then Multiply(0.9..1.3), plus blur/noise slack
     nz = y[y > 0.05]
     assert np.abs(nz - 0.5).max() <= (30.0 / 255.0 + 0.5) * 1.3 - 0.5 + 0.15
+
+
+def test_augment_bf16_path_statistically_close(recorded, monkeypatch):
+    """The TPU-default bf16 compute path (PMOE_AUG_BF16) must keep the same
+    augmentation statistics as the f32 path to within bf16 resolution —
+    same rng, same gates, only elementwise rounding differs."""
+    import jax
+    import jax.numpy as jnp
+
+    bsz = recorded["bsz"]
+    it = recorded["iterations"][-1]
+    rng = jax.random.PRNGKey(3)
+    x = np.linspace(0.1, 0.9, 8 * 64 * 64 * 3, dtype=np.float32).reshape(
+        8, 64, 64, 3)
+    monkeypatch.setenv("PMOE_AUG_BF16", "0")
+    y32 = np.asarray(augment(rng, jnp.asarray(x), it, "medium", bsz))
+    monkeypatch.setenv("PMOE_AUG_BF16", "force")
+    yb = augment(rng, jnp.asarray(x), it, "medium", bsz)
+    assert yb.dtype == jnp.bfloat16
+    yb = np.asarray(yb, np.float32)
+    assert yb.shape == y32.shape
+    # identical rng draws -> identical gate decisions; bf16 only rounds
+    assert np.mean(np.abs(yb - y32)) < 5e-3
+    assert np.max(np.abs(yb - y32)) < 0.05

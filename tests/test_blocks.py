@@ -124,6 +124,54 @@ def test_packed_stem_param_tree_identical():
                                       err_msg=str(p))
 
 
+def test_packed_conv3_custom_vjp_matches_native_ad():
+    """The PackedConv3 custom VJP (explicit dgrad conv + one dense packed
+    wgrad conv + block gather) must reproduce native AD through
+    conv(xp, pack_conv_kernel_w2(w)) exactly (f32; only reduction order
+    differs). The custom rule exists because native AD makes XLA split the
+    wgrad into an extra full-resolution HBM pass on TPU (PERF.md)."""
+    import jax
+    from jax import lax
+    from pmoe_tpu.nn.packed import _packed_conv3_op, pack_conv_kernel_w2
+
+    def native(xp, w):
+        return lax.conv_general_dilated(
+            xp, pack_conv_kernel_w2(w), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    C, Co = 3, 8
+    xp = jax.random.normal(k1, (2, 6, 4, 2 * C), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, C, Co), jnp.float32)
+    cot = jax.random.normal(k3, (2, 6, 4, 2 * Co), jnp.float32)
+
+    def loss(f):
+        return lambda xp, w: jnp.sum(f(xp, w) * cot)
+
+    np.testing.assert_allclose(
+        np.asarray(_packed_conv3_op(xp, w)), np.asarray(native(xp, w)),
+        rtol=1e-6, atol=1e-6)
+    gx1, gw1 = jax.grad(loss(_packed_conv3_op), argnums=(0, 1))(xp, w)
+    gx2, gw2 = jax.grad(loss(native), argnums=(0, 1))(xp, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-5, atol=1e-4)
+    # and under the expert-style vmap (stacked kernels, shared input)
+    wv = jax.random.normal(k2, (3, 3, 3, C, Co), jnp.float32)
+
+    def vloss(f):
+        return lambda xp, wv: jnp.sum(
+            jax.vmap(f, in_axes=(None, 0))(xp, wv) * cot[None])
+
+    gx1, gw1 = jax.grad(vloss(_packed_conv3_op), argnums=(0, 1))(xp, wv)
+    gx2, gw2 = jax.grad(vloss(native), argnums=(0, 1))(xp, wv)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_packed_stem_path_exact():
     """Stem branch alone (ECA-conv-BN x2 + bn1 + maxpool), packed vs
     canonical, shared params — tight tolerance. This is where the packing
