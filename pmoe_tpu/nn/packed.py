@@ -134,6 +134,19 @@ class PackedConv3(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (3, 3, self.in_channels, self.features),
                        self.param_dtype)
+        # The custom VJP pays only where native AD degenerates: for SMALL
+        # input channel counts XLA splits the packed wgrad into per-block
+        # contractions with an extra full-resolution HBM pass, while for
+        # wide convs its block-pruned wgrad is already canonical-FLOPs and
+        # the custom dense wgrad would do 2x the MACs (measured A/B on v5e:
+        # all-custom is 1% SLOWER at stage-2; conv_0-only is the win).
+        if (self.in_channels > 16
+                or os.environ.get("PMOE_PACKED_VJP", "1") != "1"):
+            return lax.conv_general_dilated(
+                xp.astype(self.dtype),
+                pack_conv_kernel_w2(w).astype(self.dtype), (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return _packed_conv3_op(xp.astype(self.dtype), w.astype(self.dtype))
 
 

@@ -160,6 +160,31 @@ def ab_packed_stem(B: int = 64, windows: int = 5, steps: int = 10,
     ratios = [u / p for u, p in zip(times[labels[0]], times[labels[1]])]
     print(f"paired speedup ({labels[0]}/{labels[1]}) per window: "
           f"{[round(r, 3) for r in ratios]}  median={np.median(ratios):.3f}")
+    return {label: min(times[label]) for label in labels}
+
+
+def canonical_stage2_flops(B: int = 64) -> float:
+    """Reference-semantics FLOPs of the stage-2 step (packing off), the
+    honest MFU numerator used by bench.py."""
+    import os
+
+    os.environ["PMOE_PACKED_STEM"] = "0"
+    try:
+        rng = jax.random.PRNGKey(0)
+        img = jnp.zeros((B, 4, 224, 224, 3), jnp.uint8)
+        spd = jnp.zeros((B, 1), jnp.float32)
+        cmd = jnp.zeros((B, 6), jnp.float32)
+        ctl = jnp.zeros((B, 2), jnp.float32)
+        model = get_model(bench._moe_cfg(), dtype=jnp.bfloat16)
+        v = jit_init(model, {"params": rng}, img[:2].astype(jnp.float32),
+                     spd[:2], cmd[:2])
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
+        opt = tx.init(v["params"])
+        fn = make_step(model, tx, B)
+        return op_counter(fn, v["params"], v.get("batch_stats", {}), opt,
+                          img, spd, cmd, ctl, rng)["flops"]
+    finally:
+        os.environ.pop("PMOE_PACKED_STEM", None)
 
 
 def ab_bn_pool(B: int = 64, windows: int = 5, steps: int = 10):
@@ -264,6 +289,85 @@ def ab_packed_unet(windows: int = 5, only: str = ""):
         ratios = [u / p for u, p in zip(times["unpacked"], times["packed"])]
         print(f"{stage} paired speedup (unpacked/packed) per window: "
               f"{[round(r, 3) for r in ratios]}  median={np.median(ratios):.3f}")
+
+
+def _stage3_agent(env):
+    """Build + warm one stage-3 bench agent under ``env`` knobs."""
+    import os
+
+    B = bench.BATCH3
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (B + 6, 224, 224, 3), np.uint8)
+    for k, v in env.items():
+        os.environ[k] = v
+    try:
+        agent = bench.Agent(
+            bench._stage3_cfg(4),
+            (jnp.zeros((2, 4, 224, 224, 3), jnp.float32),
+             jnp.zeros((2, 1), jnp.float32),
+             jnp.zeros((2, 4), jnp.float32)),
+            rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        for i in range(B + 1):
+            agent.remember(frames[i:i + 4], np.float32([1.0]),
+                           np.eye(4, dtype=np.float32)[0],
+                           np.float32([0.1, 0.5]), np.float32(1.0),
+                           frames[i + 1:i + 5], np.float32([1.1]),
+                           np.eye(4, dtype=np.float32)[0],
+                           np.float32(0.0))
+        m = agent.learn()                           # compile under this env
+        assert np.isfinite(float(m["critic_loss"]))
+    finally:
+        for k in env:
+            os.environ.pop(k, None)
+    return agent
+
+
+def ab_stage3(configs=None, windows: int = 4, steps: int = 4):
+    """Paired interleaved A/B of the FULL stage-3 DDPG learn step
+    (``Agent.learn`` incl. frame-pool staging) across env-knob configs.
+
+    Two full DDPG agents (actor+critic+targets+opt+frame pool) fit in
+    v5e HBM; three do not (RESOURCE_EXHAUSTED, logs/roundwork_s3ab).
+    So variants are measured PAIRWISE against the defaults baseline —
+    baseline stays resident, each variant is built, timed in windows
+    interleaved with the baseline, then freed before the next."""
+    if configs is None:
+        configs = [
+            ("punet-unpacked", {"PMOE_PACKED_UNET": "0"}),
+            ("stem-unpacked", {"PMOE_PACKED_STEM": "0"}),
+            ("xla-pool", {"PMOE_FUSED_POOL": "0"}),
+        ]
+    base_agent = _stage3_agent({})
+    print("defaults: compiled", flush=True)
+
+    def timed(agent):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            m = agent.learn()
+        _ = float(m["critic_loss"])                 # D2H barrier
+        return (time.perf_counter() - t0) / steps
+
+    out = {"defaults": []}
+    for label, env in configs:
+        var_agent = _stage3_agent(env)
+        print(f"{label}: compiled", flush=True)
+        tb, tv = [], []
+        for _ in range(windows):
+            tb.append(timed(base_agent))
+            tv.append(timed(var_agent))
+        del var_agent
+        out["defaults"].extend(tb)
+        out[label] = tv
+        ratios = [b / v for b, v in zip(tb, tv)]
+        print(f"{label:16s} best {min(tv) * 1e3:7.0f} ms/step "
+              f"({1 / min(tv):.3f} steps/s)  defaults/variant per window: "
+              f"{[round(r, 3) for r in ratios]}  "
+              f"median={np.median(ratios):.3f}", flush=True)
+    best = min(out["defaults"])
+    print(f"{'defaults':16s} best {best * 1e3:7.0f} ms/step "
+          f"({1 / best:.3f} steps/s)  "
+          f"windows={[round(t * 1e3) for t in out['defaults']]}", flush=True)
+    return {l: min(t) for l, t in out.items()}
 
 
 def stage3_decomposition():

@@ -4,13 +4,18 @@ The tunneled relay charges minutes of session init and wedges ~8 min if a
 client is killed, so batch every pending measurement into ONE process
 (see memory: axon-relay-session-discipline):
 
-  1. paired A/B of the BN+ReLU epilogues fused into the Pallas pool
-     (fused_packed_pool_bn) vs the XLA epilogue chain, stage-2 batch 64
-  2. (--ab / --profile flags retain the earlier UNet-packing A/B and the
-     stage-2 hlo_stats profile)
+  1. pairwise stage-3 A/B (tools/bench_sweep.ab_stage3): defaults vs
+     punet-unpacked / stem-unpacked / xla-pool — decides whether the
+     round-5 packing defaults help or hurt the NORTH-STAR DDPG learn
+     step at batch 64 (the round-5 stage-0/1 A/B split by batch size:
+     packing won at bs 10, lost at bs 64; stage 3 runs the seg U-Net at
+     bs 64 x 5 frames, so the "auto-on inside the rollout" default is
+     unproven there).  Pairwise because two full agents fit in HBM,
+     three don't (logs/roundwork_s3ab_133137.log RESOURCE_EXHAUSTED).
+  2. bench.bench_stage3 spot under the winning config, for the honest
+     steps/s + MFU record (canonical FLOPs incl. scan correction).
 
-Usage: python -u tools/tpu_roundwork.py [--skip-ab] [--skip-profile]
-                                        [--unet-ab]
+Usage: python -u tools/tpu_roundwork.py [--windows N]
 """
 
 from __future__ import annotations
@@ -26,33 +31,22 @@ import bench
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--skip-ab", action="store_true")
-    ap.add_argument("--skip-profile", action="store_true")
-    ap.add_argument("--unet-ab", action="store_true",
-                    help="also rerun the UNet-packing A/B (already measured)")
-    ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--windows", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=4)
     args = ap.parse_args()
 
     bench.health_check()
     print("== session up ==", flush=True)
 
-    # ordered cheapest-first so a short recovery window still yields the
-    # highest-value results
-    if not args.skip_ab:
-        from tools.bench_sweep import ab_bn_pool
-        ab_bn_pool(windows=args.windows)
+    from tools.bench_sweep import ab_stage3
+    print("-- pairwise stage-3 A/B: packing/pool knobs vs defaults --",
+          flush=True)
+    ab_stage3(windows=args.windows, steps=args.steps)
 
-    if not args.skip_profile:
-        # profiles the production stage-2 graph (packed stem + fused
-        # BN-pool, both auto-on for TPU)
-        from tools import profile_stage2
-        sys.argv = ["profile_stage2", "--batch", "64"]
-        profile_stage2.main()
-
-    if args.unet_ab:
-        from tools.bench_sweep import ab_packed_unet
-        ab_packed_unet(windows=args.windows, only="stage0")
-        ab_packed_unet(windows=args.windows, only="stage1")
+    s3_steps, s3_flops = bench.bench_stage3()
+    print(f"stage3 defaults: {s3_steps:.3f} steps/s  "
+          f"{s3_flops / 1e12:.2f} TF/step  "
+          f"MFU={s3_flops * s3_steps / 197e12:.4f}", flush=True)
 
 
 if __name__ == "__main__":
