@@ -123,10 +123,11 @@ class Agent:
 
         images, speed, command = example_obs
         k1, k2, k3 = jax.random.split(self._next_rng(), 3)
-        avars = jit_init(self.actor_model, {"params": k1, "sample": k2},
-                         images, speed, command)
-        cvars = jit_init(self.critic_model, {"params": k3}, images, speed,
-                         command, jnp.zeros((images.shape[0], 2)))
+        with self._packing_ctx():
+            avars = jit_init(self.actor_model, {"params": k1, "sample": k2},
+                             images, speed, command)
+            cvars = jit_init(self.critic_model, {"params": k3}, images, speed,
+                             command, jnp.zeros((images.shape[0], 2)))
 
         actor_params = avars["params"]
         self.actor_batch_stats = avars.get("batch_stats", {})
@@ -194,6 +195,19 @@ class Agent:
         self._pool_margin = max(2 * (self._past_frames + 1), _POOL_MARGIN)
         self._staged_idx = None             # ring indices of the staged batch
 
+    @staticmethod
+    def _packing_ctx():
+        """Scoped packing default for every trace this agent makes: the
+        DDPG trunks run frozen/forward-only, where the W-pair packing's 2x
+        structural-zero MACs are a measured net LOSS (pairwise A/B on v5e
+        at batch 64: all-unpacked 913 ms vs packed 1103 ms per learn step,
+        logs/roundwork_s3pair_142204.log) — unlike the stage-0/1/2 TRAIN
+        steps where it wins. Explicit PMOE_PACKED_STEM / PMOE_PACKED_UNET
+        env values still override (the A/B escape hatch)."""
+        from ..nn.packed import packing_context
+
+        return packing_context("0")
+
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
         return sub
@@ -242,8 +256,10 @@ class Agent:
 
     def sample(self, images, speed, command) -> np.ndarray:
         """Policy action + OU exploration noise (reference rl_agent.py:98-109)."""
-        mu = self._act_jit(self.state, jnp.asarray(images), jnp.asarray(speed),
-                           jnp.asarray(command), self._next_rng())
+        with self._packing_ctx():
+            mu = self._act_jit(self.state, jnp.asarray(images),
+                               jnp.asarray(speed), jnp.asarray(command),
+                               self._next_rng())
         return np.asarray(mu) + self.noise()
 
     def remember(self, *transition) -> None:
@@ -525,8 +541,9 @@ class Agent:
             # and device-resident; the validity margin in _pool_valid_mask
             # covers frames written between staging and this call)
             staged = dict(staged, frame_pool=self._pool)
-        self.state, metrics = self._learn_jit(self.state, staged,
-                                              self._next_rng())
+        with self._packing_ctx():
+            self.state, metrics = self._learn_jit(self.state, staged,
+                                                  self._next_rng())
         self._staged = self._stage_batch()      # uploads while step runs
         if not fetch_metrics:
             return metrics                      # device scalars, non-blocking

@@ -35,18 +35,51 @@ from flax import linen as nn
 from .blocks import eca_kernel_size
 
 __all__ = [
-    "use_packing", "pack_conv_kernel_w2", "PackedConv3", "PackedBN",
-    "PackedECA", "PackedConvBlock3", "packed_concat",
+    "use_packing", "packing_context", "pack_conv_kernel_w2", "PackedConv3",
+    "PackedBN", "PackedECA", "PackedConvBlock3", "packed_concat",
 ]
 
 Dtype = Any
 
+#: stack of context defaults consulted when the switch resolves to "auto".
+#: Packing is a TRAINING-regime win: the 2x structural-zero MACs buy fused
+#: BN/wgrad bandwidth in the backward pass, but in frozen forward-only
+#: trunks (the stage-3 DDPG learn step) they are a pure loss — measured
+#: pairwise on v5e at batch 64: all-unpacked 913 ms vs packed-defaults
+#: 1103 ms (1.21x, logs/roundwork_s3pair_142204.log). Contexts that know
+#: their regime push a default here; an explicit PMOE_PACKED_* env value
+#: still wins (the A/B escape hatch).
+_CTX_PACKING: list[str] = []
+
+
+class packing_context:
+    """``with packing_context("0"): ...`` — scoped packing default for
+    traces made inside the block (e.g. the DDPG agent's frozen trunks)."""
+
+    def __init__(self, flag: str):
+        self.flag = flag
+
+    def __enter__(self):
+        _CTX_PACKING.append(self.flag)
+        return self
+
+    def __exit__(self, *exc):
+        _CTX_PACKING.pop()
+        return False
+
+
+def context_packing() -> str | None:
+    return _CTX_PACKING[-1] if _CTX_PACKING else None
+
 
 def use_packing(flag, width: int) -> bool:
     """Resolve the packing switch: explicit config beats the
-    PMOE_PACKED_STEM env var beats auto (on for TPU backends)."""
+    PMOE_PACKED_STEM env var beats the ``packing_context`` scope default
+    beats auto (on for TPU backends)."""
     if flag is None:
         flag = os.environ.get("PMOE_PACKED_STEM", "auto")
+    if flag == "auto" and context_packing() is not None:
+        flag = context_packing()
     if isinstance(flag, str):
         flag = (jax.default_backend() == "tpu") if flag == "auto" \
             else flag not in ("0", "false", "False")

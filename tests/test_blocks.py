@@ -111,6 +111,47 @@ def _resnet_pair(packed):
                           packed_stem=packed)
 
 
+def test_packing_resolution_order(monkeypatch):
+    """Explicit env beats the packing_context scope default beats auto.
+
+    The context is how the stage-3 Agent opts its frozen forward-only
+    trunks OUT of packing (a measured loss there, PERF.md) while stage-2
+    training keeps the auto-on default."""
+    import jax as _jax
+    from pmoe_tpu.nn import packed as pk
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("PMOE_PACKED_STEM", raising=False)
+
+    assert pk.use_packing(None, 8) is True            # auto on TPU
+    with pk.packing_context("0"):
+        assert pk.use_packing(None, 8) is False       # context beats auto
+        assert pk.use_packing("auto", 8) is False     # constructor "auto" too
+        with pk.packing_context("1"):                 # nesting: innermost wins
+            assert pk.use_packing(None, 8) is True
+        assert pk.use_packing(None, 8) is False
+        monkeypatch.setenv("PMOE_PACKED_STEM", "1")
+        assert pk.use_packing(None, 8) is True        # explicit env beats ctx
+        monkeypatch.setenv("PMOE_PACKED_STEM", "0")
+        assert pk.use_packing(None, 8) is False
+        monkeypatch.delenv("PMOE_PACKED_STEM")
+        assert pk.use_packing(True, 8) is True        # explicit flag beats all
+        assert pk.use_packing(None, 7) is False       # odd width never packs
+    assert pk.use_packing(None, 8) is True            # scope restored
+
+
+def test_agent_traces_under_packing_off_context():
+    """Agent._packing_ctx() pushes the unpacked default for the DDPG
+    trace scope (stage-3's frozen trunks; see rl_agent.py docstring)."""
+    from pmoe_tpu.models.rl_agent import Agent
+    from pmoe_tpu.nn import packed as pk
+
+    assert pk.context_packing() is None
+    with Agent._packing_ctx():
+        assert pk.context_packing() == "0"
+    assert pk.context_packing() is None
+
+
 def test_packed_stem_param_tree_identical():
     import jax
     x = jnp.ones((2, 16, 16, 6), jnp.float32)

@@ -330,12 +330,16 @@ def ab_stage3(configs=None, windows: int = 4, steps: int = 4):
     v5e HBM; three do not (RESOURCE_EXHAUSTED, logs/roundwork_s3ab).
     So variants are measured PAIRWISE against the defaults baseline —
     baseline stays resident, each variant is built, timed in windows
-    interleaved with the baseline, then freed before the next."""
+    interleaved with the baseline, then freed before the next.
+
+    Agent defaults are now UNPACKED (Agent._packing_ctx — the frozen
+    forward-only regime, measured 1.21x faster than packed,
+    logs/roundwork_s3pair_142204.log), so the interesting variants
+    force packing back ON via the explicit-env escape hatch."""
     if configs is None:
         configs = [
-            ("punet-unpacked", {"PMOE_PACKED_UNET": "0"}),
-            ("stem-unpacked", {"PMOE_PACKED_STEM": "0"}),
-            ("xla-pool", {"PMOE_FUSED_POOL": "0"}),
+            ("stem-packed", {"PMOE_PACKED_STEM": "1"}),
+            ("punet-packed", {"PMOE_PACKED_UNET": "1"}),
         ]
     base_agent = _stage3_agent({})
     print("defaults: compiled", flush=True)
