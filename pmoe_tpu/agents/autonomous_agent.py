@@ -10,6 +10,8 @@ contract means our agents also run under stock CARLA tooling.
 from __future__ import annotations
 
 import enum
+import os
+import time
 from typing import Any, List, Optional
 
 __all__ = ["Track", "AutonomousAgent"]
@@ -26,6 +28,7 @@ class AutonomousAgent:
         self._global_plan = None
         self._global_plan_world_coord = None
         self.wallclock_t0 = None
+        self.realtime_ratio = 0.0
         self.setup(path_to_conf_file)
 
     def setup(self, path_to_conf_file: Any) -> None:
@@ -43,6 +46,18 @@ class AutonomousAgent:
         pass
 
     def __call__(self, input_data: dict, timestamp: float):
+        """Step the agent, tracking the wallclock-vs-simtime ratio the
+        reference prints every tick (autonomous_agent.py:108-113). The ratio
+        is always computed (``self.realtime_ratio``); the per-tick print is
+        opt-in (``PMOE_AGENT_VERBOSE=1``) to keep benchmark loops clean."""
+        if self.wallclock_t0 is None:
+            self.wallclock_t0 = time.time()
+        wallclock = time.time() - self.wallclock_t0
+        self.realtime_ratio = wallclock / timestamp if timestamp > 0 else 0.0
+        if os.environ.get("PMOE_AGENT_VERBOSE"):
+            print(f"======[Agent] Wallclock_time = {wallclock:.3f} / "
+                  f"Sim_time = {timestamp:.3f} / "
+                  f"Ratio = {self.realtime_ratio:.3f}x")
         return self.run_step(input_data, timestamp)
 
     def set_global_plan(self, global_plan_gps, global_plan_world_coord=None,

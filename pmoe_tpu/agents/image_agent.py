@@ -28,6 +28,8 @@ image_agent.py:127-177 inherits torch's eager blocking semantics instead).
 
 from __future__ import annotations
 
+import os
+import time
 from functools import partial
 from pathlib import Path
 
@@ -121,6 +123,11 @@ class ImageAgent(AutonomousAgent):
         # (no previous action exists), so tick 0 matches the synchronous form.
         self._pipeline = bool(self.config.get("pipeline", True))
         self._pending_action = None
+        # PMOE_AGENT_TIMERS=1: accumulate per-stage wall time (preprocess /
+        # dispatch / fetch) for the closed-loop decomposition in
+        # tools/bench_sweep.diag_closed_loop — negligible overhead when off
+        self._timers = ({"pre": 0.0, "dispatch": 0.0, "fetch": 0.0}
+                        if os.environ.get("PMOE_AGENT_TIMERS") else None)
 
         if cached:
             self._jit_step = cached[1]
@@ -174,6 +181,7 @@ class ImageAgent(AutonomousAgent):
         return control
 
     def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
+        t0 = time.perf_counter() if self._timers is not None else 0.0
         _, rgb_raw = input_data["Narrow_RGB"]
         # cameras deliver BGR(A) (CARLA convention; the fake backend matches)
         rgb = rgb_raw[..., :3][..., ::-1]
@@ -194,6 +202,9 @@ class ImageAgent(AutonomousAgent):
         command = np.zeros((1, self.n_commands), np.float32)
         command[0, cmd_value] = 1.0
 
+        if self._timers is not None:
+            t1 = time.perf_counter()
+            self._timers["pre"] += t1 - t0
         self._rng, k = jax.random.split(self._rng)
         self._frames, action_dev = self._jit_step(
             self._variables, self._frames, jnp.asarray(rgb224),
@@ -205,9 +216,16 @@ class ImageAgent(AutonomousAgent):
                 action_dev.copy_to_host_async()
             prev = self._pending_action
             self._pending_action = action_dev
+            if self._timers is not None:
+                t2 = time.perf_counter()
+                self._timers["dispatch"] += t2 - t1
             action = np.asarray(action_dev if prev is None else prev)
+            if self._timers is not None:
+                self._timers["fetch"] += time.perf_counter() - t2
         else:
             action = np.asarray(action_dev)
+            if self._timers is not None:
+                self._timers["fetch"] += time.perf_counter() - t1
         self.num_frames += 1
 
         # eval media: annotated frames every ~25 ticks, flushed as a strip

@@ -84,6 +84,11 @@ class BaseLearner:
             EarlyStopping(patience=int(tp.get("patience", 7)),
                           delta=float(tp.get("early_stopping_delta", 0.0)))
             if bool(tp.get("early_stopping", False)) else None)
+        # comet auto-histogram analog (reference train_0.py:288-307 logs
+        # weight histograms per epoch). Off by default: fetching the full
+        # param tree costs real wall time on a tunneled device.
+        self.auto_histograms = bool(
+            self.cfg.get("logger", {}).get("auto_histograms", False))
 
         self.build_data()
         self.build_model()
@@ -232,6 +237,8 @@ class BaseLearner:
             self.logger.log_metrics(
                 {"train_loss": epoch_loss, "time": dt, **val_metrics},
                 step=self.iteration, epoch=self.epoch)
+            if self.auto_histograms:
+                self.log_param_histograms()
             print(f"[{self.stage}] epoch {self.epoch}/{self.epochs} "
                   f"loss={epoch_loss:.4f} "
                   f"val={val_metrics.get('val_loss', float('nan')):.4f} "
@@ -275,6 +282,22 @@ class BaseLearner:
     def collect_batch_stats(self, params, batch, rng):
         """Subclass hook: forward in train mode, return new batch_stats."""
         raise NotImplementedError
+
+    def log_param_histograms(self) -> None:
+        """Per-top-level-module weight histograms, the comet auto-histogram
+        analog (reference train_0.py:288-307). One device fetch per leaf,
+        grouped by the first path component so the record count stays small."""
+        import jax
+
+        groups: dict[str, list] = {}
+        def visit(path, leaf):
+            top = str(getattr(path[0], "key", path[0]))
+            groups.setdefault(top, []).append(np.asarray(leaf).ravel())
+        jax.tree_util.tree_map_with_path(visit, self.state.params)
+        for top, leaves in groups.items():
+            self.logger.log_histogram_3d(
+                np.concatenate(leaves), name=f"weights/{top}",
+                step=self.iteration)
 
     def log_op_cost(self) -> None:
         """XLA cost analysis of the eval step — GFLOPs + params at train end

@@ -82,6 +82,27 @@ class ExperimentLogger:
         self._metrics_f.write(json.dumps(rec, default=str) + "\n")
         self._metrics_f.flush()
 
+    def log_histogram_3d(self, values, name: str = "histogram",
+                         step: int | None = None, bins: int = 64) -> None:
+        """comet's ``log_histogram_3d`` analog (reference train_0.py:288-307
+        auto-logs weight/grad histograms): one JSONL record of counts + bin
+        edges per call under ``<dir>/histograms.jsonl``."""
+        if self.disabled:
+            return
+        arr = np.asarray(values).ravel()
+        if arr.size == 0:
+            return
+        counts, edges = np.histogram(arr, bins=bins)
+        rec = {"t": time.time(), "name": name,
+               "counts": counts.tolist(),
+               "edges": np.round(edges, 7).tolist(),
+               "mean": float(arr.mean()), "std": float(arr.std()),
+               "min": float(arr.min()), "max": float(arr.max())}
+        if step is not None:
+            rec["step"] = int(step)
+        with open(self.dir / "histograms.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     def log_image(self, image, name: str = "image", step: int | None = None) -> None:
         if self.disabled:
             return

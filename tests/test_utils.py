@@ -171,3 +171,45 @@ def test_logger_media_outputs(tmp_path):
     lg2 = ExperimentLogger(log_dir=tmp_path, disabled=True)
     lg2.log_video(frames, name="x")           # no-op when disabled
     assert not list(tmp_path.rglob("videos/x.avi"))
+
+
+def test_logger_histogram_3d(tmp_path):
+    """log_histogram_3d (comet auto-histogram analog, reference
+    train_0.py:288-307): counts sum to the sample count, edges bracket the
+    data, disabled sink writes nothing."""
+    import json
+
+    import numpy as np
+
+    from pmoe_tpu.utils.logger import ExperimentLogger
+
+    lg = ExperimentLogger(log_dir=tmp_path, experiment_name="hist")
+    vals = np.linspace(-2.0, 3.0, 1000).reshape(10, 100)
+    lg.log_histogram_3d(vals, name="weights/unet", step=5, bins=16)
+    lg.end()
+    [f] = list(tmp_path.rglob("histograms.jsonl"))
+    rec = json.loads(f.read_text().strip())
+    assert rec["name"] == "weights/unet" and rec["step"] == 5
+    assert sum(rec["counts"]) == vals.size and len(rec["edges"]) == 17
+    assert rec["edges"][0] <= -2.0 and rec["edges"][-1] >= 3.0
+
+    lg2 = ExperimentLogger(log_dir=tmp_path, disabled=True)
+    lg2.log_histogram_3d(vals, name="nope")
+    assert len(list(tmp_path.rglob("histograms.jsonl"))) == 1
+
+
+def test_agent_realtime_ratio():
+    """The base agent tracks wallclock-vs-simtime when stepped through
+    __call__ (reference autonomous_agent.py:108-113 prints it per tick)."""
+    from pmoe_tpu.agents.autonomous_agent import AutonomousAgent
+    from pmoe_tpu.sim.interface import VehicleControl
+
+    class Idle(AutonomousAgent):
+        def run_step(self, input_data, timestamp):
+            return VehicleControl()
+
+    agent = Idle(None)
+    agent({}, 0.05)
+    agent({}, 0.10)
+    assert agent.wallclock_t0 is not None
+    assert agent.realtime_ratio >= 0.0      # wallclock elapsed / sim time

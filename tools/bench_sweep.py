@@ -374,6 +374,150 @@ def ab_stage3(configs=None, windows: int = 4, steps: int = 4):
     return {l: min(t) for l, t in out.items()}
 
 
+def ab_infer(windows: int = 4, ticks: int = 50):
+    """Paired interleaved A/B of the closed-loop inference step (the
+    bench_inference_latency graph: one uint8 frame -> normalize -> window
+    roll -> model.sample at batch 1) packed vs unpacked.
+
+    The inference path is forward-only like the stage-3 trunks (where
+    packing measured a 1.21x LOSS at batch 64), but at batch 1 the
+    lane-utilization win could dominate instead — this measures it.
+    p50 per window; the ~34 ms relay RTT hits both variants equally."""
+    import os
+
+    steps, states = {}, {}
+    for label, flag in (("packed", "1"), ("unpacked", "0")):
+        os.environ["PMOE_PACKED_STEM"] = flag
+        try:
+            model = get_model(bench._moe_cfg(), dtype=jnp.bfloat16)
+            rng = jax.random.PRNGKey(0)
+            frames = jnp.zeros((1, 4, 224, 224, 3), jnp.float32)
+            spd = jnp.zeros((1, 1), jnp.float32)
+            cmd = jnp.zeros((1, bench.COMMANDS), jnp.float32)
+            variables = jit_init(model, {"params": rng}, frames, spd, cmd)
+
+            @jax.jit
+            def agent_step(variables, frames, new_frame_u8, spd, cmd, rng,
+                           model=model):
+                frame = new_frame_u8.astype(jnp.float32) / 255.0
+                frames = jnp.concatenate([frames[:, 1:], frame[None, None]],
+                                         axis=1)
+                action = model.apply(variables, frames, spd, cmd, False,
+                                     method="sample", rngs={"sample": rng})
+                return frames, action
+
+            new_frame = jnp.zeros((224, 224, 3), jnp.uint8)
+            frames, action = agent_step(variables, frames, new_frame, spd,
+                                        cmd, rng)
+            _ = np.asarray(action)
+        finally:
+            os.environ.pop("PMOE_PACKED_STEM", None)
+        steps[label] = agent_step
+        states[label] = (variables, frames, spd, cmd, new_frame, rng)
+        print(f"{label}: compiled", flush=True)
+
+    p50 = {"packed": [], "unpacked": []}
+    for w in range(windows):
+        for label in p50:
+            variables, frames, spd, cmd, new_frame, rng = states[label]
+            lat = []
+            for i in range(ticks):
+                t0 = time.perf_counter()
+                frames, action = steps[label](variables, frames, new_frame,
+                                              spd, cmd,
+                                              jax.random.fold_in(rng, i))
+                _ = np.asarray(action)
+                lat.append(time.perf_counter() - t0)
+            states[label] = (variables, frames, spd, cmd, new_frame, rng)
+            p50[label].append(float(np.percentile(np.array(lat) * 1e3, 50)))
+    for label, vals in p50.items():
+        print(f"{label:9s} p50/window ms: {[round(v, 2) for v in vals]}  "
+              f"best={min(vals):.2f}", flush=True)
+    ratios = [u / p for p, u in zip(p50["packed"], p50["unpacked"])]
+    print(f"paired unpacked/packed per window: "
+          f"{[round(r, 3) for r in ratios]}  median={np.median(ratios):.3f} "
+          f"(>1 means packed is faster)", flush=True)
+    return p50
+
+
+def diag_closed_loop(repeats: int = 4, ticks: int = 200):
+    """Repeat the whole-loop NoCrash bench with per-stage decomposition.
+
+    Prints, per repeat: fps, then the agent's internal stage times
+    (preprocess / dispatch / fetch via PMOE_AGENT_TIMERS) and the
+    episode-engine surroundings (sensor get_data, backend tick, criteria)
+    timed in a manual loop mirroring eval/manager.run_episode. Separates
+    "the relay was having a moment" (variance across repeats) from "a tick
+    stage regressed" (stable decomposition)."""
+    import os
+
+    from pmoe_tpu.agents.image_agent import ImageAgent
+    from pmoe_tpu.eval.criteria import CriteriaTree, RouteCompletionTest
+    from pmoe_tpu.sim.fake_carla import FakeCarlaBackend
+    from pmoe_tpu.sim.sensor_interface import SensorHub
+    from pmoe_tpu.utils.config import Config
+
+    os.environ["PMOE_AGENT_TIMERS"] = "1"
+    cfg = Config({
+        "sensors": {"img_width": 800, "img_height": 600},
+        "logger": {"disabled": True},
+        "model": {"actor": dict(bench._moe_cfg(), n_commands=bench.COMMANDS,
+                                model_dir="")},
+    })
+    fps_all = []
+    try:
+        for r in range(repeats):
+            backend = FakeCarlaBackend(town="Town01")
+            route = backend.trace_route(0, 3)
+            frame = backend.reset(route)
+            agent = ImageAgent(cfg)
+            agent.set_global_plan(route.gps_plan())
+            criteria = CriteriaTree([RouteCompletionTest(route)])
+            hub = SensorHub.for_agent(agent, backend, route=route, frame=frame)
+            t_hub = t_tick = t_crit = 0.0
+            hub.on_frame(frame)
+            t0 = time.perf_counter()
+            n = 0
+            while n < ticks:
+                ta = time.perf_counter()
+                input_data = hub.get_data()
+                tb = time.perf_counter()
+                control = agent.run_step(input_data, frame.timestamp)
+                tc = time.perf_counter()
+                frame = backend.tick(control)
+                hub.on_frame(frame)
+                ego = backend.ego_state()
+                td = time.perf_counter()
+                criteria.update(ego, frame)
+                te = time.perf_counter()
+                t_hub += tb - ta
+                t_tick += td - tc
+                t_crit += te - td
+                n += 1
+                if criteria.should_terminate:
+                    break
+            dt = time.perf_counter() - t0
+            fps = n / dt
+            fps_all.append(fps)
+            tm = agent._timers
+            print(f"repeat {r}: {fps:6.1f} fps over {n} ticks  "
+                  f"per-tick ms: pre={1e3 * tm['pre'] / n:.2f} "
+                  f"dispatch={1e3 * tm['dispatch'] / n:.2f} "
+                  f"fetch={1e3 * tm['fetch'] / n:.2f} "
+                  f"hub={1e3 * t_hub / n:.2f} "
+                  f"sim={1e3 * t_tick / n:.2f} "
+                  f"crit={1e3 * t_crit / n:.2f} "
+                  f"total={1e3 * dt / n:.2f}", flush=True)
+            agent.destroy()
+            hub.stop()
+    finally:
+        os.environ.pop("PMOE_AGENT_TIMERS", None)
+    print(f"closed-loop fps over {repeats} repeats: "
+          f"{[round(f, 1) for f in fps_all]}  best={max(fps_all):.1f} "
+          f"median={float(np.median(fps_all)):.1f}", flush=True)
+    return fps_all
+
+
 def stage3_decomposition():
     """Component timings of the stage-3 DDPG learn step (the round-4
     analysis that exposed the replay-upload gap): trunk_pair at 2B, critic

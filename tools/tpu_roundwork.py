@@ -33,20 +33,35 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=4)
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--tasks", default="s3ab,s3",
+                    help="comma list: s3ab, s3, infer_ab, loop_diag, loop")
     args = ap.parse_args()
+    tasks = [t.strip() for t in args.tasks.split(",") if t.strip()]
 
     bench.health_check()
     print("== session up ==", flush=True)
 
-    from tools.bench_sweep import ab_stage3
-    print("-- pairwise stage-3 A/B: packing/pool knobs vs defaults --",
-          flush=True)
-    ab_stage3(windows=args.windows, steps=args.steps)
-
-    s3_steps, s3_flops = bench.bench_stage3()
-    print(f"stage3 defaults: {s3_steps:.3f} steps/s  "
-          f"{s3_flops / 1e12:.2f} TF/step  "
-          f"MFU={s3_flops * s3_steps / 197e12:.4f}", flush=True)
+    for task in tasks:
+        print(f"-- task: {task} --", flush=True)
+        if task == "s3ab":
+            from tools.bench_sweep import ab_stage3
+            ab_stage3(windows=args.windows, steps=args.steps)
+        elif task == "s3":
+            s3_steps, s3_flops = bench.bench_stage3()
+            print(f"stage3 defaults: {s3_steps:.3f} steps/s  "
+                  f"{s3_flops / 1e12:.2f} TF/step  "
+                  f"MFU={s3_flops * s3_steps / 197e12:.4f}", flush=True)
+        elif task == "infer_ab":
+            from tools.bench_sweep import ab_infer
+            ab_infer(windows=args.windows)
+        elif task == "loop_diag":
+            from tools.bench_sweep import diag_closed_loop
+            diag_closed_loop(repeats=args.windows)
+        elif task == "loop":
+            fps = bench.bench_closed_loop_fps()
+            print(f"closed_loop_fps (bench.py path): {fps:.1f}", flush=True)
+        else:
+            print(f"unknown task {task!r}; skipping", flush=True)
 
 
 if __name__ == "__main__":
