@@ -30,10 +30,15 @@ import os
 
 import jax
 import jax.numpy as jnp
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = float("-inf")
+
+#: EB rows per v2 block (the sublane tile). Must divide the per-expert batch
+#: so no block straddles two experts' BN affines.
+_V2_EBT = 8
 
 
 def _interpret() -> bool:
@@ -414,6 +419,327 @@ def _pool_bn_bwd_impl(y, aff, g, idx):
 
 
 # ---------------------------------------------------------------------------
+# v2 kernels: conv-native layout for the vmapped (stacked-expert) path
+#
+# vmap-of-pallas_call constrains every operand to row-major [E, B, H, W2, C]
+# while XLA's vmapped stem convs produce/consume physical [H][W2][E][B][C] —
+# the mismatch cost ~9 ms/step of relayout copies in the stage-2 profile
+# (copy_bitcast_fusion feeding the fwd kernel + the g/idx copies feeding the
+# bwd; PERF.md round-6 profile). The v2 kernels take the LOGICAL shape
+# [H, W2, E*B, C] (H/W untiled leading dims, (EB, C) the tiled pair), so a
+# logical transpose in a custom_vmap batching rule makes the pallas operand
+# layout EQUAL the conv's physical layout and the transposes become bitcasts
+# (validated on v5e by tools/probe_pool_v2.py: bitwise-exact, conv+pool fwd
+# 18.0 -> 14.6 ms at stage-2 stem shapes).
+#
+# A pleasant side effect of H/W being untiled: no pltpu.roll / sublane
+# tricks — W-neighbor access and the H-strided row selection are plain
+# leading-dim slices, and the packed-parity split is a lane slice.
+# ---------------------------------------------------------------------------
+
+
+def _v2_pick_th(h2: int, cap: int = 4) -> int:
+    """Pooled rows per grid cell. The bwd kernel holds ~5 f32 full-row
+    temporaries (gt2/t1/t2/y/din) — at stage-2 shapes th=4 blows the 16 MB
+    scoped-vmem stack (measured: 18.73M), so it runs at cap=2."""
+    for th in (cap, cap // 2, 1):
+        if th >= 1 and h2 % th == 0:
+            return th
+    return 1
+
+
+def _v2_ok(bsz: int, shape) -> bool:
+    """Can the v2 kernels take this (per-expert) raw conv shape [B,H,W2,C2]?
+    Block rows must not straddle experts (bsz % _V2_EBT); W2 is untiled so
+    unconstrained."""
+    if len(shape) != 4:
+        return False
+    _, H, _, C2 = shape
+    return (C2 == 128 and H % 2 == 0 and bsz % _V2_EBT == 0
+            and (H // 2) % _v2_pick_th(H // 2) == 0)
+
+
+def _v2_pool_core(x, *, th: int, w2: int, c: int):
+    """W-then-H max + argmax-code on the assembled [2*th+1, W2, EBT, 2C]
+    f32 block (row 0 = top halo). Same slot codes as _pool_core."""
+    r0 = x[..., :c]
+    r1 = x[..., c:]
+    l1 = jnp.concatenate(
+        [jnp.full_like(r1[:, :1], NEG), r1[:, :-1]], axis=1)
+    wmax = jnp.maximum(jnp.maximum(l1, r0), r1)
+    widx = jnp.where(l1 == wmax, 0, jnp.where(r0 == wmax, 1, 2))
+
+    def _eo(v):
+        v0 = v[0:2 * th].reshape(th, 2, *v.shape[1:])
+        a = v0[:, 0]
+        b = v0[:, 1]
+        cc = jnp.concatenate([a[1:], v[2 * th:2 * th + 1]], axis=0)
+        return a, b, cc
+
+    a, b2, c3 = _eo(wmax)
+    out = jnp.maximum(jnp.maximum(a, b2), c3)
+    ia, ib, ic = _eo(widx)
+    code = jnp.where(a == out, ia,
+                     jnp.where(b2 == out, ib + 3, ic + 6))
+    return out, code
+
+
+def _v2_fwd_bn_kernel(cur_ref, halo_ref, aff_ref, out_ref, idx_ref, *,
+                      th: int, w2: int, c: int):
+    t = pl.program_id(1)
+    cur = cur_ref[...].astype(jnp.float32)            # [2th, W2, EBT, 2C]
+    halo = halo_ref[...].astype(jnp.float32)          # [1,  W2, EBT, 2C]
+    x = jnp.concatenate([halo, cur], axis=0)
+    aff = aff_ref[0].astype(jnp.float32)              # [2, 3, 2C]
+    _, x = _bn2_relu(x, aff, cur_ref.dtype)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    x = jnp.where((row == 0) & (t == 0), jnp.asarray(NEG, x.dtype), x)
+    out, code = _v2_pool_core(x, th=th, w2=w2, c=c)
+    out_ref[...] = out.astype(out_ref.dtype)
+    idx_ref[...] = code.astype(jnp.int8)
+
+
+def _v2_pool_bn_fwd_impl(yt: jnp.ndarray, aff: jnp.ndarray):
+    """yt: [H, W2, EB, 2C] raw conv output; aff: [E, 2, 3, 2C].
+    Returns (out [h2, W2, EB, C], idx int8 same)."""
+    H, w2, eb, c2 = yt.shape
+    e = aff.shape[0]
+    bsz = eb // e
+    c = c2 // 2
+    h2 = H // 2
+    th = _v2_pick_th(h2)
+    grid = (eb // _V2_EBT, h2 // th)
+
+    def cur_map(b, t):
+        return (t, 0, b, 0)
+
+    def halo_map(b, t):
+        return (jnp.maximum(2 * th * t - 1, 0), 0, b, 0)
+
+    def aff_map(b, t):
+        return ((_V2_EBT * b) // bsz, 0, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_v2_fwd_bn_kernel, th=th, w2=w2, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * th, w2, _V2_EBT, c2), cur_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w2, _V2_EBT, c2), halo_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 3, c2), aff_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((th, w2, _V2_EBT, c), cur_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, w2, _V2_EBT, c), cur_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h2, w2, eb, c), yt.dtype),
+            jax.ShapeDtypeStruct((h2, w2, eb, c), jnp.int8),
+        ],
+        interpret=_interpret(),
+    )(yt, yt, aff.astype(jnp.float32))
+
+
+def _v2_scatter_core(g_ref, i_ref, gn_ref, in_ref, *, th: int, w2: int,
+                     c: int):
+    """Pool-gradient scatter in v2 layout; returns the [2*th, W2, EBT, 2C]
+    f32 gradient w.r.t. the pool-input rows of this grid cell."""
+    t = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    gp = g_ref[...].astype(jnp.float32)               # [th, W2, EBT, C]
+    ip = i_ref[...].astype(jnp.int32)
+    gn = gn_ref[...].astype(jnp.float32)              # [1, W2, EBT, C]
+    inx = in_ref[...].astype(jnp.int32)
+    gn = jnp.where(t < last, gn, jnp.zeros_like(gn))
+    inx = jnp.where(t < last, inx, jnp.full_like(inx, 9))
+
+    g = jnp.concatenate([gp, gn], axis=0)             # [th+1, W2, EBT, C]
+    code = jnp.concatenate([ip, inx], axis=0)
+    hs = code // 3
+    ws = code - 3 * hs
+
+    def wdistribute(rows_g, rows_hs, rows_ws, want_h):
+        sel = rows_hs == want_h
+        g0 = jnp.where(sel & (rows_ws == 1), rows_g, 0.0)
+        g1 = jnp.where(sel & (rows_ws == 2), rows_g, 0.0)
+        gl = jnp.where(sel & (rows_ws == 0), rows_g, 0.0)
+        # left-slot of out col w'' lands on parity-1 col w''-1: shift left
+        # along the (untiled) W2 dim
+        gshift = jnp.concatenate(
+            [gl[:, 1:], jnp.zeros_like(gl[:, :1])], axis=1)
+        return g0, g1 + gshift
+
+    e0, e1 = wdistribute(g[:th], hs[:th], ws[:th], 1)
+    o0a, o1a = wdistribute(g[:th], hs[:th], ws[:th], 2)
+    o0b, o1b = wdistribute(g[1:], hs[1:], ws[1:], 0)
+    o0, o1 = o0a + o0b, o1a + o1b
+
+    even = jnp.concatenate([e0, e1], axis=-1)         # [th, W2, EBT, 2C]
+    odd = jnp.concatenate([o0, o1], axis=-1)
+    inter = jnp.stack([even, odd], axis=1)            # [th, 2, W2, EBT, 2C]
+    return inter.reshape(2 * th, *even.shape[1:])
+
+
+def _v2_bwd_bn_kernel(g_ref, i_ref, gn_ref, in_ref, y_ref, aff_ref, din_ref,
+                      part_ref, *, th: int, w2: int, c: int):
+    gt2 = _v2_scatter_core(g_ref, i_ref, gn_ref, in_ref, th=th, w2=w2, c=c)
+    y = y_ref[...].astype(jnp.float32)                # [2th, W2, EBT, 2C]
+    aff = aff_ref[0].astype(jnp.float32)              # [2, 3, 2C]
+    t1, t2 = _bn2_relu(y, aff, y_ref.dtype)
+    gu1 = jnp.where(t2 > 0, gt2, 0.0)
+    r1 = jnp.sum(gu1 * (t1 - aff[1, 0]), axis=(0, 1, 2))
+    r2 = jnp.sum(gu1, axis=(0, 1, 2))
+    gu0 = jnp.where(t1 > 0, gu1 * aff[1, 1], 0.0)
+    r3 = jnp.sum(gu0 * (y - aff[0, 0]), axis=(0, 1, 2))
+    r4 = jnp.sum(gu0, axis=(0, 1, 2))
+    din_ref[...] = (gu0 * aff[0, 1]).astype(din_ref.dtype)
+    part_ref[0, 0] = jnp.stack([r1, r2, r3, r4])
+
+
+def _v2_pool_bn_bwd_impl(yt, aff, gt, idxt):
+    """v2-layout backward. yt [H, W2, EB, 2C]; aff [E, 2, 3, 2C];
+    gt/idxt [h2, W2, EB, C]. Returns (din [H, W2, EB, 2C],
+    parts [EB/EBT, nt, 4, 2C])."""
+    H, w2, eb, c2 = yt.shape
+    e = aff.shape[0]
+    bsz = eb // e
+    c = c2 // 2
+    h2 = H // 2
+    th = _v2_pick_th(h2, cap=2)
+    nt = h2 // th
+    grid = (eb // _V2_EBT, nt)
+
+    def pooled_map(b, t):
+        return (t, 0, b, 0)
+
+    def next_map(b, t):
+        return (jnp.minimum(th * t + th, h2 - 1), 0, b, 0)
+
+    def full_map(b, t):
+        return (t, 0, b, 0)
+
+    def aff_map(b, t):
+        return ((_V2_EBT * b) // bsz, 0, 0, 0)
+
+    def part_map(b, t):
+        return (b, t, 0, 0)
+
+    din, parts = pl.pallas_call(
+        functools.partial(_v2_bwd_bn_kernel, th=th, w2=w2, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((th, w2, _V2_EBT, c), pooled_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, w2, _V2_EBT, c), pooled_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w2, _V2_EBT, c), next_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w2, _V2_EBT, c), next_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * th, w2, _V2_EBT, c2), full_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 3, c2), aff_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * th, w2, _V2_EBT, c2), full_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4, c2), part_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, w2, eb, c2), gt.dtype),
+            jax.ShapeDtypeStruct((eb // _V2_EBT, nt, 4, c2), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(gt, idxt, gt, idxt, yt, aff.astype(jnp.float32))
+    return din, parts
+
+
+# -- custom_vmap dispatchers -------------------------------------------------
+#
+# The custom_vjp wrappers below keep the v1 logical convention; these
+# dispatchers sit inside their fwd/bwd so that when the op is vmapped (the
+# stacked-expert nn.vmap), the batched call routes to the v2 kernels. The
+# fallback replicates the v1 behavior exactly (jax.vmap of the v1 impl with
+# the _lead_bdim layout workaround).
+
+
+def _to_hweb(x5):
+    """[E, B, H, W2, C] -> [H, W2, E*B, C] (a bitcast when the producer is
+    in the TPU conv layout)."""
+    e, b, h, w2, cc = x5.shape
+    return jnp.transpose(x5, (2, 3, 0, 1, 4)).reshape(h, w2, e * b, cc)
+
+
+def _from_hweb(xt, e: int):
+    """[H, W2, E*B, C] -> [E, B, H, W2, C]."""
+    h, w2, eb, cc = xt.shape
+    return jnp.transpose(xt.reshape(h, w2, e, eb // e, cc), (2, 3, 0, 1, 4))
+
+
+def _bcast(arg, batched, axis_size):
+    return arg if batched else jnp.broadcast_to(
+        arg[None], (axis_size, *arg.shape))
+
+
+@custom_batching.custom_vmap
+def _pool_bn_fwd_dispatch(y, aff):
+    return _pool_bn_fwd_impl(_lead_bdim(y), _lead_bdim(aff))
+
+
+@_pool_bn_fwd_dispatch.def_vmap
+def _pool_bn_fwd_vmap(axis_size, in_batched, y, aff):
+    y = _bcast(y, in_batched[0], axis_size)
+    aff = _bcast(aff, in_batched[1], axis_size)
+    e, bsz = y.shape[0], y.shape[1]
+    if os.environ.get("PMOE_POOL_V2", "1") == "1" and _v2_ok(bsz, y.shape[1:]):
+        out_t, idx_t = _v2_pool_bn_fwd_impl(_to_hweb(y), aff)
+        out = _from_hweb(out_t, e)                       # [E, B, h2, W2, c]
+        eb_, b_, h2, w2, c = out.shape
+        out = out.reshape(eb_, b_, h2, w2 // 2, 2 * c)   # repack
+        return (out, _from_hweb(idx_t, e)), (True, True)
+    out, idx = jax.vmap(
+        lambda y_, a_: _pool_bn_fwd_impl(_lead_bdim(y_), _lead_bdim(a_))
+    )(y, aff)
+    return (out, idx), (True, True)
+
+
+@custom_batching.custom_vmap
+def _pool_bn_bwd_dispatch(y, aff, g, idx):
+    """Returns (din, psum[4, 2C]) — parts already reduced."""
+    din, parts = _pool_bn_bwd_impl(_lead_bdim(y), _lead_bdim(aff), g,
+                                   _lead_bdim(idx))
+    return din, jnp.sum(parts, axis=(0, 1))
+
+
+@_pool_bn_bwd_dispatch.def_vmap
+def _pool_bn_bwd_vmap(axis_size, in_batched, y, aff, g, idx):
+    y = _bcast(y, in_batched[0], axis_size)
+    aff = _bcast(aff, in_batched[1], axis_size)
+    g = _bcast(g, in_batched[2], axis_size)
+    idx = _bcast(idx, in_batched[3], axis_size)
+    e, bsz = y.shape[0], y.shape[1]
+    if os.environ.get("PMOE_POOL_V2", "1") == "1" and _v2_ok(bsz, y.shape[1:]):
+        eg, bg, h2, w2p, c2 = g.shape
+        gt = _to_hweb(g.reshape(eg, bg, h2, 2 * w2p, c2 // 2))  # unpack
+        din_t, parts = _v2_pool_bn_bwd_impl(_to_hweb(y), aff, gt,
+                                            _to_hweb(idx))
+        psum = jnp.sum(
+            parts.reshape(e, bsz // _V2_EBT, -1, 4, parts.shape[-1]),
+            axis=(1, 2))
+        return (_from_hweb(din_t, e), psum), (True, True)
+    def _v1(y_, a_, g_, i_):
+        din_, parts_ = _pool_bn_bwd_impl(_lead_bdim(y_), _lead_bdim(a_), g_,
+                                         _lead_bdim(i_))
+        return din_, jnp.sum(parts_, axis=(0, 1))
+
+    din, psum = jax.vmap(_v1)(y, aff, g, idx)
+    return (din, psum), (True, True)
+
+
+# ---------------------------------------------------------------------------
 # public op
 # ---------------------------------------------------------------------------
 
@@ -454,8 +780,11 @@ def fused_packed_pool_bn(y: jnp.ndarray, aff: jnp.ndarray) -> jnp.ndarray:
          ``affine_only`` mode so BN statistics (and their gradient paths)
          stay in XLA.
     Returns the packed pooled tensor [B, H/2, W2/2, 2C].
+
+    Under vmap (the stacked-expert nn.vmap) the custom_vmap dispatchers
+    route to the conv-native-layout v2 kernels (PMOE_POOL_V2=0 disables).
     """
-    out, _ = _pool_bn_fwd_impl(_lead_bdim(y), _lead_bdim(aff))
+    out, _ = _pool_bn_fwd_dispatch(y, aff)
     return out
 
 
@@ -475,15 +804,13 @@ def _lead_bdim(x):
 
 
 def _fppbn_fwd(y, aff):
-    out, idx = _pool_bn_fwd_impl(_lead_bdim(y), _lead_bdim(aff))
+    out, idx = _pool_bn_fwd_dispatch(y, aff)
     return out, (y, aff, idx)
 
 
 def _fppbn_bwd(res, g):
     y, aff, idx = res
-    din, parts = _pool_bn_bwd_impl(_lead_bdim(y), _lead_bdim(aff), g,
-                                   _lead_bdim(idx))
-    p = jnp.sum(parts, axis=(0, 1))                       # [4, 2C]
+    din, p = _pool_bn_bwd_dispatch(y, aff, g, idx)        # p: [4, 2C]
     # d mean = -scale * d bias (per channel); order in aff is (m, s, b)
     daff = jnp.stack([
         jnp.stack([-aff[0, 1] * p[3], p[2], p[3]]),

@@ -258,3 +258,83 @@ def test_resnet_fused_bn_pool_wiring(monkeypatch):
         scale = np.maximum(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=1e-3,
                                    err_msg=str(p))
+
+
+# ---------------------------------------------------------------------------
+# v2 (conv-native layout) path: engaged when the op is vmapped and the
+# per-expert batch divides the EB tile (see pool_pallas.py "v2 kernels")
+# ---------------------------------------------------------------------------
+
+def _bn_pool_inputs_v2(dtype=jnp.float32, E=2, B=8, H=8, W2=16):
+    key = jax.random.PRNGKey(7)
+    C2 = 128
+    c = C2 // 2
+    ys = jax.random.normal(key, (E, B, H, W2, C2), jnp.float32).astype(dtype)
+    ks = jax.random.split(key, 7)
+    d2 = lambda v: jnp.concatenate([v, v], axis=-1)
+    affs = jnp.stack([jnp.stack([
+        jnp.stack([d2(jax.random.normal(ks[0], (E, c)))[i],
+                   d2(jax.random.normal(ks[1], (E, c)) * 0.5 + 1.0)[i],
+                   d2(jax.random.normal(ks[2], (E, c)) * 0.1)[i]]),
+        jnp.stack([d2(jax.random.normal(ks[3], (E, c)) * 0.2)[i],
+                   d2(jax.random.normal(ks[4], (E, c)) * 0.5 + 1.0)[i],
+                   d2(jax.random.normal(ks[5], (E, c)) * 0.1)[i]]),
+    ]) for i in range(E)])
+    g = jax.random.normal(ks[6], (E, B, H // 2, W2 // 2, C2))
+    return ys, affs, g, c
+
+
+def test_fused_pool_bn_v2_forward_exact(monkeypatch):
+    """vmapped call with B % 8 == 0 routes to the v2 kernels; output matches
+    the v1 route bitwise (both interpret mode)."""
+    from pmoe_tpu.ops.pool_pallas import _v2_ok, fused_packed_pool_bn
+    for dtype in (jnp.float32, jnp.bfloat16):
+        ys, affs, _, c = _bn_pool_inputs_v2(dtype)
+        assert _v2_ok(ys.shape[1], ys.shape[1:])
+        monkeypatch.setenv("PMOE_POOL_V2", "1")
+        f2 = jax.jit(jax.vmap(fused_packed_pool_bn))(ys, affs)
+        monkeypatch.setenv("PMOE_POOL_V2", "0")
+        f1 = jax.jit(jax.vmap(fused_packed_pool_bn))(ys, affs)
+        rv = jax.vmap(lambda a, b: _bn_pool_ref(a, b, c))(ys, affs)
+        np.testing.assert_array_equal(np.asarray(f1.astype(jnp.float32)),
+                                      np.asarray(f2.astype(jnp.float32)))
+        np.testing.assert_allclose(np.asarray(rv.astype(jnp.float32)),
+                                   np.asarray(f2.astype(jnp.float32)),
+                                   atol=5e-6)
+
+
+def test_fused_pool_bn_v2_backward(monkeypatch):
+    """v2 gradients (dy and the folded affine grad) match the v1 route and
+    the XLA reference chain."""
+    from pmoe_tpu.ops.pool_pallas import fused_packed_pool_bn
+    ys, affs, g, c = _bn_pool_inputs_v2()
+
+    def loss(fn):
+        return lambda y, a: jnp.sum(jax.vmap(fn)(y, a) * g)
+
+    monkeypatch.setenv("PMOE_POOL_V2", "1")
+    gy2, ga2 = jax.grad(loss(fused_packed_pool_bn), argnums=(0, 1))(ys, affs)
+    monkeypatch.setenv("PMOE_POOL_V2", "0")
+    gy1, ga1 = jax.grad(loss(fused_packed_pool_bn), argnums=(0, 1))(ys, affs)
+    gyr, gar = jax.grad(loss(lambda a, b: _bn_pool_ref(a, b, c)),
+                        argnums=(0, 1))(ys, affs)
+    np.testing.assert_array_equal(np.asarray(gy1), np.asarray(gy2))
+    # affine grads: v1/v2 partial-sum groupings differ -> accumulation order
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga2),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gyr), np.asarray(gy2),
+                               atol=1e-4, rtol=1e-5)
+    fold = lambda a: a[..., :c] + a[..., c:]
+    np.testing.assert_allclose(np.asarray(fold(gar)), np.asarray(fold(ga2)),
+                               atol=1e-3, rtol=1e-5)
+
+
+def test_fused_pool_bn_v2_odd_width(monkeypatch):
+    """W2 is an untiled leading dim in v2 — widths the v1 gate rejects
+    (W2 % 16 != 0) still work through the v2 route."""
+    from pmoe_tpu.ops.pool_pallas import fused_packed_pool_bn
+    ys, affs, _, c = _bn_pool_inputs_v2(W2=6)
+    monkeypatch.setenv("PMOE_POOL_V2", "1")
+    f2 = jax.vmap(fused_packed_pool_bn)(ys, affs)
+    rv = jax.vmap(lambda a, b: _bn_pool_ref(a, b, c))(ys, affs)
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(f2), atol=1e-6)
