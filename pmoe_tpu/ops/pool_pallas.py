@@ -454,8 +454,9 @@ def _v2_ok(bsz: int, shape) -> bool:
     unconstrained."""
     if len(shape) != 4:
         return False
-    _, H, _, C2 = shape
-    return (C2 == 128 and H % 2 == 0 and bsz % _V2_EBT == 0
+    _, H, W2, C2 = shape
+    return (C2 == 128 and H % 2 == 0 and W2 % 2 == 0
+            and bsz % _V2_EBT == 0
             and (H // 2) % _v2_pick_th(H // 2) == 0)
 
 
@@ -484,6 +485,22 @@ def _v2_pool_core(x, *, th: int, w2: int, c: int):
     return out, code
 
 
+def _v2_pack_lane(v):
+    """[rows, W2, EBT, C] -> packed [rows, W2/2, EBT, 2C]: fold W-pairs into
+    lanes (dim 1 is untiled, the lane concat is in-register)."""
+    r, w2, ebt, c = v.shape
+    v0 = v.reshape(r, w2 // 2, 2, ebt, c)
+    return jnp.concatenate([v0[:, :, 0], v0[:, :, 1]], axis=-1)
+
+
+def _v2_unpack_lane(v):
+    """Packed [rows, W2/2, EBT, 2C] -> [rows, W2, EBT, C]."""
+    r, w2p, ebt, c2 = v.shape
+    c = c2 // 2
+    return jnp.stack([v[..., :c], v[..., c:]], axis=2).reshape(
+        r, 2 * w2p, ebt, c)
+
+
 def _v2_fwd_bn_kernel(cur_ref, halo_ref, aff_ref, out_ref, idx_ref, *,
                       th: int, w2: int, c: int):
     t = pl.program_id(1)
@@ -495,19 +512,24 @@ def _v2_fwd_bn_kernel(cur_ref, halo_ref, aff_ref, out_ref, idx_ref, *,
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     x = jnp.where((row == 0) & (t == 0), jnp.asarray(NEG, x.dtype), x)
     out, code = _v2_pool_core(x, th=th, w2=w2, c=c)
-    out_ref[...] = out.astype(out_ref.dtype)
-    idx_ref[...] = code.astype(jnp.int8)
+    # emit PACKED [th, W2/2, EBT, 2C]: dense 128 lanes (the unpacked 64-wide
+    # form pads its tiles 2x) and the caller's transpose back to the logical
+    # packed output becomes a bitcast of the conv layout
+    out_ref[...] = _v2_pack_lane(out).astype(out_ref.dtype)
+    idx_ref[...] = _v2_pack_lane(code).astype(jnp.int8)
 
 
 def _v2_pool_bn_fwd_impl(yt: jnp.ndarray, aff: jnp.ndarray):
     """yt: [H, W2, EB, 2C] raw conv output; aff: [E, 2, 3, 2C].
-    Returns (out [h2, W2, EB, C], idx int8 same)."""
+    Returns (out packed [h2, W2/2, EB, 2C], idx int8 same)."""
     H, w2, eb, c2 = yt.shape
     e = aff.shape[0]
     bsz = eb // e
     c = c2 // 2
     h2 = H // 2
-    th = _v2_pick_th(h2)
+    # cap=2: at th=4 the f32 temporaries + the lane-pack concat overflow the
+    # 16 MB scoped-vmem stack (measured 16.78M at stage-2 shapes)
+    th = _v2_pick_th(h2, cap=2)
     grid = (eb // _V2_EBT, h2 // th)
 
     def cur_map(b, t):
@@ -530,14 +552,14 @@ def _v2_pool_bn_fwd_impl(yt: jnp.ndarray, aff: jnp.ndarray):
             pl.BlockSpec((1, 2, 3, c2), aff_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((th, w2, _V2_EBT, c), cur_map,
+            pl.BlockSpec((th, w2 // 2, _V2_EBT, c2), cur_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, w2, _V2_EBT, c), cur_map,
+            pl.BlockSpec((th, w2 // 2, _V2_EBT, c2), cur_map,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((h2, w2, eb, c), yt.dtype),
-            jax.ShapeDtypeStruct((h2, w2, eb, c), jnp.int8),
+            jax.ShapeDtypeStruct((h2, w2 // 2, eb, c2), yt.dtype),
+            jax.ShapeDtypeStruct((h2, w2 // 2, eb, c2), jnp.int8),
         ],
         interpret=_interpret(),
     )(yt, yt, aff.astype(jnp.float32))
@@ -549,10 +571,11 @@ def _v2_scatter_core(g_ref, i_ref, gn_ref, in_ref, *, th: int, w2: int,
     f32 gradient w.r.t. the pool-input rows of this grid cell."""
     t = pl.program_id(1)
     last = pl.num_programs(1) - 1
-    gp = g_ref[...].astype(jnp.float32)               # [th, W2, EBT, C]
-    ip = i_ref[...].astype(jnp.int32)
-    gn = gn_ref[...].astype(jnp.float32)              # [1, W2, EBT, C]
-    inx = in_ref[...].astype(jnp.int32)
+    # g/idx arrive PACKED [*, W2/2, EBT, 2C] — unpack in-register
+    gp = _v2_unpack_lane(g_ref[...].astype(jnp.float32))   # [th, W2, EBT, C]
+    ip = _v2_unpack_lane(i_ref[...].astype(jnp.int32))
+    gn = _v2_unpack_lane(gn_ref[...].astype(jnp.float32))  # [1, W2, EBT, C]
+    inx = _v2_unpack_lane(in_ref[...].astype(jnp.int32))
     gn = jnp.where(t < last, gn, jnp.zeros_like(gn))
     inx = jnp.where(t < last, inx, jnp.full_like(inx, 9))
 
@@ -601,7 +624,7 @@ def _v2_bwd_bn_kernel(g_ref, i_ref, gn_ref, in_ref, y_ref, aff_ref, din_ref,
 
 def _v2_pool_bn_bwd_impl(yt, aff, gt, idxt):
     """v2-layout backward. yt [H, W2, EB, 2C]; aff [E, 2, 3, 2C];
-    gt/idxt [h2, W2, EB, C]. Returns (din [H, W2, EB, 2C],
+    gt/idxt PACKED [h2, W2/2, EB, 2C]. Returns (din [H, W2, EB, 2C],
     parts [EB/EBT, nt, 4, 2C])."""
     H, w2, eb, c2 = yt.shape
     e = aff.shape[0]
@@ -631,13 +654,13 @@ def _v2_pool_bn_bwd_impl(yt, aff, gt, idxt):
         functools.partial(_v2_bwd_bn_kernel, th=th, w2=w2, c=c),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((th, w2, _V2_EBT, c), pooled_map,
+            pl.BlockSpec((th, w2 // 2, _V2_EBT, c2), pooled_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, w2, _V2_EBT, c), pooled_map,
+            pl.BlockSpec((th, w2 // 2, _V2_EBT, c2), pooled_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w2, _V2_EBT, c), next_map,
+            pl.BlockSpec((1, w2 // 2, _V2_EBT, c2), next_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w2, _V2_EBT, c), next_map,
+            pl.BlockSpec((1, w2 // 2, _V2_EBT, c2), next_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * th, w2, _V2_EBT, c2), full_map,
                          memory_space=pltpu.VMEM),
@@ -695,11 +718,11 @@ def _pool_bn_fwd_vmap(axis_size, in_batched, y, aff):
     aff = _bcast(aff, in_batched[1], axis_size)
     e, bsz = y.shape[0], y.shape[1]
     if os.environ.get("PMOE_POOL_V2", "1") == "1" and _v2_ok(bsz, y.shape[1:]):
+        # the kernel emits/consumes the PACKED pooled form directly, so both
+        # transposes here are bitcasts of the surrounding conv layouts and
+        # the idx residual round-trips fwd->bwd without a relayout
         out_t, idx_t = _v2_pool_bn_fwd_impl(_to_hweb(y), aff)
-        out = _from_hweb(out_t, e)                       # [E, B, h2, W2, c]
-        eb_, b_, h2, w2, c = out.shape
-        out = out.reshape(eb_, b_, h2, w2 // 2, 2 * c)   # repack
-        return (out, _from_hweb(idx_t, e)), (True, True)
+        return (_from_hweb(out_t, e), _from_hweb(idx_t, e)), (True, True)
     out, idx = jax.vmap(
         lambda y_, a_: _pool_bn_fwd_impl(_lead_bdim(y_), _lead_bdim(a_))
     )(y, aff)
@@ -722,9 +745,9 @@ def _pool_bn_bwd_vmap(axis_size, in_batched, y, aff, g, idx):
     idx = _bcast(idx, in_batched[3], axis_size)
     e, bsz = y.shape[0], y.shape[1]
     if os.environ.get("PMOE_POOL_V2", "1") == "1" and _v2_ok(bsz, y.shape[1:]):
-        eg, bg, h2, w2p, c2 = g.shape
-        gt = _to_hweb(g.reshape(eg, bg, h2, 2 * w2p, c2 // 2))  # unpack
-        din_t, parts = _v2_pool_bn_bwd_impl(_to_hweb(y), aff, gt,
+        # g and the idx residual are already in the packed pooled form the
+        # kernel speaks — both _to_hweb transposes are bitcasts
+        din_t, parts = _v2_pool_bn_bwd_impl(_to_hweb(y), aff, _to_hweb(g),
                                             _to_hweb(idx))
         psum = jnp.sum(
             parts.reshape(e, bsz // _V2_EBT, -1, 4, parts.shape[-1]),
