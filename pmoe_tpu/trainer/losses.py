@@ -85,7 +85,11 @@ def _weighted_cross_entropy(pred: jnp.ndarray, target: jnp.ndarray,
     num_classes = pred.shape[-1]
     t_oh = jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
     nll = -jnp.sum(t_oh * logp, axis=-1)            # (..., H, W)
-    w = class_weights[target]                       # (..., H, W)
+    # weight lookup as a one-hot contraction, NOT class_weights[target]: a
+    # row gather over B*H*W indices is serial on TPU (measured 25 ms/step
+    # of the stage-0 bench step, the single most expensive op); the matvec
+    # rides the one-hot already computed for the nll and fuses away.
+    w = t_oh @ class_weights                        # (..., H, W)
     return jnp.sum(w * nll) / jnp.clip(jnp.sum(w), 1e-12)
 
 
