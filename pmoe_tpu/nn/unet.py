@@ -145,16 +145,33 @@ class _Up(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip_hw: Tuple[int, int]) -> jnp.ndarray:
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=(2, 2),
-            strides=(2, 2),
-            padding="VALID",
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            kernel_init=self.kernel_init,
-        )(x)
+        import os as _os
+        if _os.environ.get("PMOE_CONVT_MM", "0") == "1":
+            # k2/s2 is NON-overlapping: the transposed conv is exactly one
+            # matmul + pixel shuffle, out[2h+s, 2w+r] = x[h, w] @ K[1-s, 1-r]
+            # (tap flip per lax.conv_transpose's no-flip orientation, same
+            # empirical map _PackedUp uses). Measured on v5e and REJECTED
+            # as the default: the pixel-shuffle transpose costs more than
+            # the input dilation it avoids (stage-0 144 -> 149 ms, stage-1
+            # 357 -> 361 ms, logs/roundwork_convt_ab.log). Kept gated for
+            # future A/Bs; bitwise-exact vs conv_transpose incl. odd sizes.
+            w = _CTKernel(x.shape[-1], self.features, self.param_dtype,
+                          self.kernel_init, name="ConvTranspose_0")()
+            B, h, ww, _ = x.shape
+            y = jnp.einsum("bhwc,srcf->bhswrf", x.astype(self.dtype),
+                           w[::-1, ::-1].astype(self.dtype))
+            x = y.reshape(B, 2 * h, 2 * ww, self.features)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=(2, 2),
+                strides=(2, 2),
+                padding="VALID",
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=self.kernel_init,
+            )(x)
         x = _match_spatial(x, skip_hw)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           self.param_dtype)

@@ -447,3 +447,23 @@ def test_packed_unet_inter_repr_and_odd_fallback(monkeypatch):
     x2 = jnp.ones((1, 36, 44, 3))
     v2 = m2.init(jax.random.PRNGKey(0), x2, False)
     assert m2.apply(v2, x2, False).shape == (1, 36, 44, 23)
+
+
+def test_up_convt_mm_exact(monkeypatch):
+    """The matmul + pixel-shuffle form of the decoder ConvTranspose(k2,s2)
+    (PMOE_CONVT_MM=1, off by default — measured slower on v5e, see unet.py)
+    is bitwise-exact vs flax ConvTranspose on shared params, including the
+    odd-size output_size matching."""
+    import jax
+    import numpy as np
+    from pmoe_tpu.nn.unet import _Up
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 9, 16))
+    for skip_hw in [(14, 18), (13, 17), (15, 19)]:
+        monkeypatch.setenv("PMOE_CONVT_MM", "0")
+        m = _Up(8)
+        v = m.init(jax.random.PRNGKey(1), x, skip_hw)
+        y_ct = m.apply(v, x, skip_hw)
+        monkeypatch.setenv("PMOE_CONVT_MM", "1")
+        y_mm = _Up(8).apply(v, x, skip_hw)
+        np.testing.assert_array_equal(np.asarray(y_ct), np.asarray(y_mm))
