@@ -123,6 +123,19 @@ class ImageAgent(AutonomousAgent):
         # (no previous action exists), so tick 0 matches the synchronous form.
         self._pipeline = bool(self.config.get("pipeline", True))
         self._pending_action = None
+        # fetch-thread overlap (loop_diag decomposition: the ~12 ms/tick D2H
+        # fetch of the PREVIOUS action still ran synchronously inside
+        # run_step; a single reader thread makes it overlap the simulator
+        # tick, so the loop pays only the residual wait). Same one-tick
+        # alignment — only WHERE the copy completes changes.
+        self._fetch_pool = None
+        self._pending_future = None
+        if self._pipeline and os.environ.get(
+                "PMOE_PIPELINE_FETCH_THREAD", "0") == "1":
+            import concurrent.futures
+
+            self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pmoe-action-fetch")
         # PMOE_AGENT_TIMERS=1: accumulate per-stage wall time (preprocess /
         # dispatch / fetch) for the closed-loop decomposition in
         # tools/bench_sweep.diag_closed_loop — negligible overhead when off
@@ -214,14 +227,26 @@ class ImageAgent(AutonomousAgent):
             # apply the PREVIOUS tick's (already-arrived) action this tick
             if hasattr(action_dev, "copy_to_host_async"):
                 action_dev.copy_to_host_async()
-            prev = self._pending_action
-            self._pending_action = action_dev
-            if self._timers is not None:
-                t2 = time.perf_counter()
-                self._timers["dispatch"] += t2 - t1
-            action = np.asarray(action_dev if prev is None else prev)
-            if self._timers is not None:
-                self._timers["fetch"] += time.perf_counter() - t2
+            if self._fetch_pool is not None:
+                prev_future = self._pending_future
+                self._pending_future = self._fetch_pool.submit(
+                    np.asarray, action_dev)
+                if self._timers is not None:
+                    t2 = time.perf_counter()
+                    self._timers["dispatch"] += t2 - t1
+                action = (np.asarray(action_dev) if prev_future is None
+                          else prev_future.result())
+                if self._timers is not None:
+                    self._timers["fetch"] += time.perf_counter() - t2
+            else:
+                prev = self._pending_action
+                self._pending_action = action_dev
+                if self._timers is not None:
+                    t2 = time.perf_counter()
+                    self._timers["dispatch"] += t2 - t1
+                action = np.asarray(action_dev if prev is None else prev)
+                if self._timers is not None:
+                    self._timers["fetch"] += time.perf_counter() - t2
         else:
             action = np.asarray(action_dev)
             if self._timers is not None:
@@ -255,4 +280,8 @@ class ImageAgent(AutonomousAgent):
         self.flush_vizs()
         self.waypointer = None
         self._pending_action = None
+        if self._fetch_pool is not None:
+            self._fetch_pool.shutdown(wait=False)
+            self._fetch_pool = None
+        self._pending_future = None
         self.vizs.clear()
