@@ -76,6 +76,10 @@ class BaseLearner:
         self.iteration = 0
         self.best = float("inf")
         tp = self.cfg.get("train_params", {})
+        # mixed precision: bf16 compute / fp32 params+loss (TPU MXU path);
+        # default fp32 = reference parity (conf/stage_0.yaml trains fp32)
+        from ..utils.nn import parse_dtype
+        self.compute_dtype = parse_dtype(tp.get("dtype", "float32"))
         self.epochs = int(tp.get("epochs", 1))
         self.swa_start = int(tp.get("swa_start", 10 ** 9))
         self.save_every = int(tp.get("save_every", 10))

@@ -58,6 +58,7 @@ class Learner(BaseLearner):
             gamma=int(mcfg.get("gamma", 2)),
             b=int(mcfg.get("b", 1)),
             dropout=float(mcfg.get("dropout", 0.0)),
+            dtype=self.compute_dtype,
         )
         self.num_classes = int(mcfg.get("out_features", 23))
         resize = tuple(self.cfg.get("dataset", {}).get("resize", (224, 224)))

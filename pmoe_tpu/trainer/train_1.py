@@ -73,6 +73,7 @@ class Learner(BaseLearner):
             num_classes=int(mcfg.get("num_classes", 23)),
             gamma=int(mcfg.get("gamma", 2)),
             b=int(mcfg.get("b", 1)),
+            dtype=self.compute_dtype,
         )
         ds = self.cfg.get("dataset", {})
         resize = tuple(ds.get("resize", (224, 224)))

@@ -77,7 +77,7 @@ class Learner(BaseLearner):
     def build_model(self):
         mcfg = self.cfg.get("model", {})
         self.model_type = mcfg.get("type")
-        self.model = get_model(mcfg)
+        self.model = get_model(mcfg, dtype=self.compute_dtype)
         self.criterion = get_criterion(self.model_type)
         self.loss_coefs = tuple(mcfg.get("loss_coefs", (0.7, 0.3)))
 

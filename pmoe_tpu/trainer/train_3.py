@@ -72,7 +72,10 @@ def train(cfg) -> Agent:
     obs = env.reset()
     example = (jnp.asarray(obs[0]).astype(jnp.float32) / 255.0,
                jnp.asarray(obs[1]), jnp.asarray(obs[2]))
-    agent = Agent(mcfg, example, parallel=cfg.get("parallel", None))
+    from ..utils.nn import parse_dtype
+
+    agent = Agent(mcfg, example, dtype=parse_dtype(tp.get("dtype", "float32")),
+                  parallel=cfg.get("parallel", None))
 
     # restore the pretrained actor (reference rl_agent.py:26-31)
     model_dir = str(mcfg.get("actor", {}).get("model_dir", ""))

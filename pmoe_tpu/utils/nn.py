@@ -18,6 +18,7 @@ from jax import tree_util
 
 __all__ = [
     "jit_init",
+    "parse_dtype",
     "get_initializer",
     "make_freeze_mask",
     "trainable_count",
@@ -27,6 +28,30 @@ __all__ = [
     "op_counter",
     "EarlyStopping",
 ]
+
+
+def parse_dtype(name: Any) -> Any:
+    """``train_params.dtype`` config value -> jnp dtype (compute precision).
+
+    The reference trains fp32 on cuda:0 (conf/stage_0.yaml:4); on TPU the MXU
+    wants bf16 matmuls/convs, so every trainer accepts ``train_params.dtype:
+    bfloat16`` for mixed precision — bf16 compute, fp32 params/optimizer
+    state, fp32 loss math (losses upcast internally). Accepts a dtype object,
+    ``float32``/``fp32``/``f32``, ``bfloat16``/``bf16``, ``float16``/``fp16``.
+    """
+    if name is None:
+        return jnp.float32
+    if not isinstance(name, str):
+        return jnp.dtype(name)
+    key = name.strip().lower()
+    table = {
+        "float32": jnp.float32, "fp32": jnp.float32, "f32": jnp.float32,
+        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+        "float16": jnp.float16, "fp16": jnp.float16, "f16": jnp.float16,
+    }
+    if key not in table:
+        raise ValueError(f"unknown dtype {name!r}; use float32/bfloat16/float16")
+    return table[key]
 
 
 def jit_init(model, rngs, *args, train: bool = False):

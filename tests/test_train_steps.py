@@ -147,3 +147,45 @@ def test_stage3_one_episode(tmp_path, tiny_moe_cfg):
     agent = train(cfg)
     assert len(agent.memory) == 10          # one full episode remembered
     assert (tmp_path / "rl-e0.ckpt").exists()
+
+
+def test_parse_dtype():
+    import jax.numpy as jnp
+
+    from pmoe_tpu.utils.nn import parse_dtype
+
+    assert parse_dtype(None) == jnp.float32
+    assert parse_dtype("float32") == jnp.float32
+    assert parse_dtype("bf16") == jnp.bfloat16
+    assert parse_dtype("bfloat16") == jnp.bfloat16
+    assert parse_dtype(jnp.bfloat16) == jnp.bfloat16
+    with pytest.raises(ValueError):
+        parse_dtype("int7")
+
+
+def test_stage0_bf16_mixed_precision(synthetic_root_small, tmp_path):
+    """``train_params.dtype: bfloat16`` = bf16 compute, fp32 params: the
+    TPU MXU path for the production trainers (bench.py measures this same
+    configuration). Construction + one forward only — the full-epoch
+    numerics live in the heavy fp32 tests."""
+    import jax
+
+    from pmoe_tpu.trainer.train_0 import Learner
+
+    cfg = _base_cfg(synthetic_root_small, tmp_path, "unet")
+    cfg["train_params"]["dtype"] = "bfloat16"
+    cfg["dataset"] = _dataset_cfg(synthetic_root_small)
+    cfg["val_dataset"] = _dataset_cfg(synthetic_root_small)
+    cfg["model"] = {"in_features": 3, "out_features": 23, "gamma": 2, "b": 1}
+    learner = Learner(Config(cfg))
+    assert learner.compute_dtype == jnp.bfloat16
+    assert learner.model.dtype == jnp.bfloat16
+    # params stay fp32 (mixed precision, not half-precision training)
+    for leaf in jax.tree_util.tree_leaves(learner.state.params):
+        assert leaf.dtype == jnp.float32
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    y = learner.state.apply_fn(
+        {"params": learner.state.params,
+         "batch_stats": learner.state.batch_stats}, x, False)
+    assert y.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(y, np.float32)))
