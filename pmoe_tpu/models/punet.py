@@ -19,6 +19,7 @@ Pretrained U-Net weights are grafted into the ``unet`` sub-tree by the trainer
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -31,6 +32,25 @@ from ..nn.unet import UNet
 __all__ = ["PredictiveUNet"]
 
 Dtype = Any
+
+
+def _use_remat(flag, batch: int, future_frames: int, height: int) -> bool:
+    """Rematerialize rollout steps during BPTT? Resolution order:
+    PMOE_PUNET_REMAT env ("0"/"1") > explicit constructor bool > default ON.
+
+    Measured (v5e, bs 10, T'=6, 224^2, bf16): the no-remat BPTT program
+    requires 38.2 GB of HBM against 15.75 GB available — XLA's live set
+    (padded packed-level-1 layouts, wgrad operands held to the backward)
+    is ~25x a naive activation estimate, so skipping remat never fits at
+    224^2 even at the reference batch 10. Remat stays the default; the
+    env knob exists for small-resolution experiments.
+    """
+    env = os.environ.get("PMOE_PUNET_REMAT", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
+    if isinstance(flag, bool):
+        return flag
+    return True
 
 
 class _RolloutCell(nn.Module):
@@ -79,6 +99,7 @@ class PredictiveUNet(nn.Module):
     b: int = 1
     inter_repr: bool = False
     unet_inter_repr: bool = False
+    remat: Any = "auto"         # True | False | "auto"; PMOE_PUNET_REMAT wins
     model_name: str = "unet"    # config parity; weights grafted by trainer
     model_path: str = ""
     dtype: Dtype = jnp.float32
@@ -155,7 +176,9 @@ class PredictiveUNet(nn.Module):
             inters = jnp.repeat(inter1[None], self.future_frames, axis=0)
         else:
             cell_cls = (nn.remat(_RolloutCell, prevent_cse=False)
-                        if train else _RolloutCell)
+                        if train and _use_remat(self.remat, B,
+                                                self.future_frames, H)
+                        else _RolloutCell)
             # batch_stats are mutated (carried) only in train mode; in eval the
             # running stats are read-only and can be broadcast into the scan.
             scan_cls = nn.scan(

@@ -132,3 +132,18 @@ def test_frozen_unet_gets_no_gradient(tiny_moe_cfg):
                     for x in jax.tree_util.tree_leaves(g["action_head"]))
     assert punet_norm == 0.0
     assert head_norm > 0.0
+
+
+def test_punet_remat_resolution(monkeypatch):
+    """PMOE_PUNET_REMAT env > constructor bool > default ON (the no-remat
+    rollout OOMs at 224^2 — PERF.md round-9 — so auto always remats)."""
+    from pmoe_tpu.models.punet import _use_remat
+
+    monkeypatch.delenv("PMOE_PUNET_REMAT", raising=False)
+    assert _use_remat("auto", 10, 6, 224) is True
+    assert _use_remat(False, 10, 6, 224) is False
+    assert _use_remat(True, 10, 6, 224) is True
+    monkeypatch.setenv("PMOE_PUNET_REMAT", "0")
+    assert _use_remat(True, 10, 6, 224) is False
+    monkeypatch.setenv("PMOE_PUNET_REMAT", "1")
+    assert _use_remat(False, 10, 6, 224) is True
