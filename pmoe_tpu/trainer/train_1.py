@@ -73,6 +73,8 @@ class Learner(BaseLearner):
             num_classes=int(mcfg.get("num_classes", 23)),
             gamma=int(mcfg.get("gamma", 2)),
             b=int(mcfg.get("b", 1)),
+            inter_repr=bool(mcfg.get("inter_repr", False)),
+            unet_inter_repr=bool(mcfg.get("unet_inter_repr", False)),
             dtype=self.compute_dtype,
         )
         ds = self.cfg.get("dataset", {})

@@ -213,3 +213,46 @@ def test_agent_realtime_ratio():
     agent({}, 0.10)
     assert agent.wallclock_t0 is not None
     assert agent.realtime_ratio >= 0.0      # wallclock elapsed / sim time
+
+
+def test_conf_schema_parity_with_reference():
+    """SURVEY §5: "YAML keys ARE the API schema". Every key path in every
+    reference conf/*.yaml (recorded golden via tools/export_conf_schema.py)
+    must exist in the same-named pmoe_tpu/conf file — a reference user's
+    config edits keep working verbatim."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    schema = json.loads((root / "tests" / "golden" /
+                         "ref_conf_schema.json").read_text())
+    conf_dir = root / "pmoe_tpu" / "conf"
+
+    def paths(tree, prefix=()):
+        if not isinstance(tree, dict):
+            return [prefix]
+        out = []
+        for k, v in tree.items():
+            out.extend(paths(v, prefix + (k,)))
+        return out
+
+    from collections.abc import Mapping
+
+    def has_path(cfg, path):
+        node = cfg
+        for k in path:
+            if not isinstance(node, Mapping) or k not in node:
+                return False
+            node = node[k]
+        return True
+
+    missing = []
+    for fname, tree in schema.items():
+        ours = conf_dir / fname
+        assert ours.exists(), f"pmoe_tpu/conf/{fname} missing entirely"
+        cfg = get_conf(str(ours))
+        cfg = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+        for p in paths(tree):
+            if not has_path(cfg, p):
+                missing.append(f"{fname}: {'.'.join(p)}")
+    assert not missing, "reference conf keys absent:\n" + "\n".join(missing)
