@@ -90,3 +90,37 @@ def test_evaluate_nocrash_cli(tmp_path, monkeypatch):
     cli.main(argv + ["--resume"])
     rows2 = list(csv.reader(csv_path.open()))
     assert len(rows2) == len(rows)
+
+
+def test_evaluate_leaderboard_cli(tmp_path, monkeypatch):
+    """The leaderboard CLI end-to-end: argparse -> RouteIndexer ->
+    LeaderboardEvaluator -> global stats JSON checkpoint."""
+    import json
+
+    from test_sim_eval import FollowAgent
+
+    from pmoe_tpu.eval import evaluate as cli
+
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    monkeypatch.setattr(cli, "ImageAgent", lambda cfg: FollowAgent(None))
+    monkeypatch.chdir(tmp_path)         # env.checkpoint default is relative
+    cli.main(["--town", "Town01", "--routes", "1", "--max-ticks", "300",
+              "--config", str(repo / "pmoe_tpu" / "conf" / "benchmark")])
+    ck = json.loads((tmp_path / "simulation_results.json").read_text())
+    records = ck["_checkpoint"]["records"]
+    assert len(records) == 1
+    assert "scores" in records[0]
+    assert ck["_checkpoint"]["global_record"]     # aggregation computed
+
+
+def test_scenario_cli(capsys):
+    """The standalone scenario CLI (reference scenario_runner.py role)."""
+    from pmoe_tpu.eval import scenario_cli as cli
+
+    with pytest.raises(SystemExit) as e:
+        cli.main(["--scenario", "FollowLeadingVehicle", "--max-ticks", "400"])
+    assert e.value.code == 0            # scenario reached SUCCESS
+    out = capsys.readouterr().out
+    assert "FollowLeadingVehicle" in out
