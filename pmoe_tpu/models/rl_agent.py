@@ -139,10 +139,13 @@ class Agent:
                                      list(actor_cfg.get("exclude_freeze", [])))
         self._actor_trainable = trainable
         self._fused_trunk = self._can_fuse_trunk(trainable)
-        frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
-        self.actor_tx = optax.chain(
-            optax.adam(float(actor_cfg.get("lr", 1e-5))),
-            optax.masked(optax.set_to_zero(), frozen))
+        # Adam runs ONLY on the trainable leaves (mixers + alphas): the frozen
+        # ~60M-param trunk carries no mu/nu buffers (~480 MB HBM at fp32) and
+        # no per-step moment math. Frozen updates pass through unchanged —
+        # exact zeros, since actor_loss_fn prunes the frozen backward with
+        # stop_gradient_frozen.
+        self.actor_tx = optax.masked(
+            optax.adam(float(actor_cfg.get("lr", 1e-5))), trainable)
         self.critic_tx = optax.adam(float(critic_cfg.get("lr", 1e-3)))
 
         self.state = DDPGState(
@@ -478,13 +481,19 @@ class Agent:
         # soft target update: theta' <- theta' + tau*(theta - theta');
         # algebraically tau*theta + (1-tau)*theta', but bitwise-stable when
         # theta == theta' (frozen leaves stay identical forever — the
-        # invariant the fused-trunk path relies on)
+        # invariant the fused-trunk path relies on). Frozen actor leaves skip
+        # the lerp entirely: the target buffer passes through untouched
+        # (b == a there, so the math was a full-tree read/write of ~60M
+        # params per step for a no-op).
         soft = lambda t, s: jax.tree_util.tree_map(
             lambda a, b: a + self.tau * (b - a), t, s)
+        soft_actor = jax.tree_util.tree_map(
+            lambda m, a, b: a + self.tau * (b - a) if m else a,
+            self._actor_trainable, state.target_actor_params, actor_params)
         new_state = state._replace(
             actor_params=actor_params, actor_opt=actor_opt,
             critic_params=critic_params, critic_opt=critic_opt,
-            target_actor_params=soft(state.target_actor_params, actor_params),
+            target_actor_params=soft_actor,
             target_critic_params=soft(state.target_critic_params, critic_params),
         )
         return new_state, {"critic_loss": critic_loss, "actor_loss": actor_loss}

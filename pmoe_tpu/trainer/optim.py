@@ -109,11 +109,17 @@ def make_optimizer(cfg: Mapping, lr: float | Callable,
     parts = []
     if grad_clipping:
         parts.append(optax.clip_by_global_norm(float(grad_clipping)))
-    parts.append(opt)
     if freeze_all_except:
+        # Run the optimizer ONLY on trainable leaves: frozen leaves carry no
+        # Adam moments (no state buffers, no decay math) and their updates
+        # pass through unchanged — exact zeros, since every freezing train
+        # step prunes the frozen backward with stop_gradient (torch
+        # requires_grad=False parity). An outer masked(set_to_zero) would
+        # keep full-size mu/nu for params that never train.
         trainable = make_freeze_mask(params, exclude_freeze)
-        frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
-        parts.append(optax.masked(optax.set_to_zero(), frozen))
+        parts.append(optax.masked(opt, trainable))
+    else:
+        parts.append(opt)
     return optax.chain(*parts)
 
 

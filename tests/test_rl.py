@@ -434,3 +434,44 @@ def test_ddpg_learn_step(tiny_moe_cfg):
         agent.state.target_actor_params["experts"]["action_pred"]["kernel"])
     assert not np.allclose(tgt, before_alpha) or np.allclose(
         after_alpha, before_alpha)
+
+
+def test_actor_adam_state_only_for_trainable(tiny_moe_cfg):
+    """The actor optimizer keeps Adam moments ONLY for the exclude_freeze
+    subset: frozen leaves are optax.MaskedNode (no mu/nu buffers — at
+    stage-3 scale that is ~480 MB of HBM for parameters that never train),
+    and the frozen target leaves pass through the soft update untouched."""
+    import jax.numpy as jnp
+    import optax
+
+    from pmoe_tpu.models.rl_agent import Agent
+
+    critic_mlp = lambda dims: {"dims": dims, "act": "relu", "l_act": False,
+                               "bn": False, "dropout": 0.0}
+    params = {
+        "gamma": 0.9, "tau": 0.01, "buffer_size": 64, "batch_size": 8,
+        "OU": {"mu": [0.0, 0.0], "sigma": [0.3, 0.1], "theta": 0.6},
+        "actor": dict(tiny_moe_cfg, lr=1e-4, exclude_freeze=["action_pred"]),
+        "critic": {
+            "lr": 1e-3,
+            "backbone": tiny_moe_cfg["backbone"],
+            "speed_encoder": critic_mlp([1, 32, 128]),
+            "command_encoder": critic_mlp([4, 32, 128]),
+            "action_encoder": critic_mlp([2, 32, 128]),
+            "value_prediction": critic_mlp([896, 64, 1]),
+        },
+    }
+    obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
+    agent = Agent(params, obs)
+
+    import jax
+
+    # MaskedNode is an empty pytree node: frozen leaves contribute NO mu/nu
+    # arrays at all, so every remaining moment leaf belongs to the trainable
+    # subset and the moment tree is strictly smaller than the param tree.
+    masked_state = agent.state.actor_opt.inner_state[0]
+    mu_leaves = jax.tree_util.tree_flatten_with_path(masked_state.mu)[0]
+    assert mu_leaves
+    assert all("action_pred" in jax.tree_util.keystr(p) for p, _ in mu_leaves)
+    n_params = len(jax.tree_util.tree_leaves(agent.state.actor_params))
+    assert len(mu_leaves) < n_params
