@@ -26,12 +26,118 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.blocks import EfficientConvBlock
+from ..nn.blocks import ECA, EfficientConvBlock, eca_kernel_size
 from ..nn.unet import UNet
 
 __all__ = ["PredictiveUNet"]
 
 Dtype = Any
+
+
+def _use_slots(flag) -> bool:
+    """Slot-rotated rollout carry? Resolution order:
+    PMOE_ROLLOUT_SLOTS env ("0"/"1") > explicit constructor bool > default ON.
+
+    The default (slot carry) keeps the window as a fixed (B, H, W, T*K)
+    channel-stacked buffer: each step writes ONE new mask in place
+    (``dynamic_update_slice``) and restores canonical frame order by rotating
+    the entry block's ECA gate and first-conv input-channel blocks (tiny
+    tensors) instead of shifting the 0.6 GB buffer itself. The deque path
+    (``concatenate(buf[:, 1:], new)``) plus the per-step ``moveaxis`` was
+    ~37 ms/step of HBM-bound pad/max/slice copies in the stage-3 profile
+    (tools/profile_stage3.py).
+    """
+    env = os.environ.get("PMOE_ROLLOUT_SLOTS", "").strip()
+    if env in ("0", "1"):
+        return env == "1"
+    if isinstance(flag, bool):
+        return flag
+    return True
+
+
+class _Param(nn.Module):
+    """Declares one named param in its own scope so :class:`_SlotEntryBlock`'s
+    variable tree is identical to ``EfficientConvBlock``'s (checkpoints and
+    torch-converted weights interchange between the two rollout paths)."""
+
+    pname: str
+    shape: tuple
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        return self.param(self.pname, nn.initializers.lecun_normal(),
+                          self.shape, self.param_dtype)
+
+
+class _SlotEntryBlock(nn.Module):
+    """``EfficientConvBlock`` evaluated on a slot-ordered (B, H, W, T*K)
+    window (reference basics.py:79-134 semantics, identical variable tree).
+
+    ``shift = step % T`` says how far the ring buffer's slot order is rotated
+    from canonical oldest-first frame order. Only the ECA channel gate and the
+    first conv's input-channel blocks are frame-order-sensitive, so the
+    rotation is applied to those (a (B, T*K) vector and a 3x3xT*KxH kernel)
+    rather than to the activation buffer. Numerics match the canonical path
+    up to input-channel summation order in conv_0 (exact at shift == 0).
+    """
+
+    frames: int
+    classes: int
+    out_channels: int
+    gamma: int = 2
+    b: int = 1
+    hidden: int = 64
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, buf: jnp.ndarray, shift, train: bool = False):
+        T, K = self.frames, self.classes
+        C = T * K
+
+        def roll_blocks(v, r):
+            blocks = v.reshape(v.shape[:-1] + (T, K))
+            return jnp.roll(blocks, r, axis=-2).reshape(v.shape)
+
+        k0 = eca_kernel_size(C, self.gamma, self.b)
+        w_eca0 = _Param("conv_kernel", (k0, 1, 1), self.param_dtype,
+                        name="eca_0")()
+        w_conv0 = _Param("kernel", (3, 3, C, self.hidden), self.param_dtype,
+                         name="conv_0")()
+
+        # eca_0 in canonical frame order (mirrors ECA.__call__ cast-for-cast)
+        pooled = jnp.mean(buf.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
+        pooled = roll_blocks(pooled, -shift)
+        y = jax.lax.conv_general_dilated(
+            pooled[:, :, None], w_eca0.astype(self.dtype), (1,),
+            [(k0 // 2, k0 // 2)], dimension_numbers=("NWC", "WIO", "NWC"))
+        gate = nn.sigmoid(y)[:, :, 0]
+        gate = roll_blocks(gate, shift)              # back to slot order
+        x = buf * gate[:, None, None, :].astype(buf.dtype)
+
+        # conv_0 with input-channel blocks rotated into slot order:
+        # w_slot[j] = w_canonical[(j - shift) % T]
+        w0 = jnp.roll(w_conv0.reshape(3, 3, T, K, self.hidden), shift, axis=2)
+        w0 = w0.reshape(3, 3, C, self.hidden)
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w0.astype(self.dtype), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="bn_0")(x)
+        x = nn.relu(x)
+
+        # the second half sees canonical channels — plain modules
+        x = ECA(self.hidden, self.gamma, self.b, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="eca_1")(x)
+        x = nn.Conv(self.out_channels, kernel_size=(3, 3), strides=(1, 1),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv_1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="bn_1")(x)
+        return nn.relu(x)
 
 
 def _use_remat(flag, batch: int, future_frames: int, height: int) -> bool:
@@ -55,7 +161,14 @@ def _use_remat(flag, batch: int, future_frames: int, height: int) -> bool:
 
 class _RolloutCell(nn.Module):
     """One autoregressive step: mask window -> entry block -> pred U-Net -> next
-    mask; carry is the rolling (B, T, H, W, K) window (oldest frame first)."""
+    mask. Two carry forms (identical variable tree, see ``_use_slots``):
+
+    * ``slots=False`` — the rolling (B, T, H, W, K) deque (oldest frame
+      first), shifted by ``concatenate`` each step;
+    * ``slots=True`` — a fixed (B, H, W, T*K) channel-stacked ring buffer;
+      ``step % T`` names the slot the new mask overwrites in place, and the
+      entry block rotates its gate/weights instead of the data.
+    """
 
     past_frames: int
     num_classes: int
@@ -66,16 +179,26 @@ class _RolloutCell(nn.Module):
     train: bool
     dtype: Dtype
     param_dtype: Dtype
+    slots: bool = False
 
     @nn.compact
-    def __call__(self, buf: jnp.ndarray, _x=None):
+    def __call__(self, buf: jnp.ndarray, step):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        B, T, H, W, K = buf.shape
-        # frame-major channel blocks — matches the reference's deque concat
-        # along the channel dim (punet.py:103,111)
-        stacked = jnp.moveaxis(buf, 1, 3).reshape(B, H, W, T * K)
-        x = EfficientConvBlock(T * K, self.in_features, gamma=self.gamma,
-                               b=self.b, name="entry_block", **kw)(stacked, self.train)
+        T, K = self.past_frames, self.num_classes
+        if self.slots:
+            B = buf.shape[0]
+            shift = jnp.mod(step.astype(jnp.int32), T)
+            x = _SlotEntryBlock(frames=T, classes=K,
+                                out_channels=self.in_features,
+                                gamma=self.gamma, b=self.b,
+                                name="entry_block", **kw)(buf, shift, self.train)
+        else:
+            B, _T, H, W, _K = buf.shape
+            # frame-major channel blocks — matches the reference's deque concat
+            # along the channel dim (punet.py:103,111)
+            stacked = jnp.moveaxis(buf, 1, 3).reshape(B, H, W, T * K)
+            x = EfficientConvBlock(T * K, self.in_features, gamma=self.gamma,
+                                   b=self.b, name="entry_block", **kw)(stacked, self.train)
         # packed="auto": the W-pair-packed level 1 is a measured win inside
         # the rollout (+3.8% stage-1 step on v5e, PERF.md) though it
         # regresses the standalone stage-0 UNet.
@@ -86,7 +209,11 @@ class _RolloutCell(nn.Module):
             inter, next_mask = out
         else:
             inter, next_mask = jnp.zeros((B, 1), self.dtype), out
-        new_buf = jnp.concatenate([buf[:, 1:], next_mask[:, None]], axis=1)
+        if self.slots:
+            new_buf = jax.lax.dynamic_update_slice(
+                buf, next_mask.astype(buf.dtype), (0, 0, 0, shift * K))
+        else:
+            new_buf = jnp.concatenate([buf[:, 1:], next_mask[:, None]], axis=1)
         return new_buf, (next_mask, inter)
 
 
@@ -100,6 +227,7 @@ class PredictiveUNet(nn.Module):
     inter_repr: bool = False
     unet_inter_repr: bool = False
     remat: Any = "auto"         # True | False | "auto"; PMOE_PUNET_REMAT wins
+    slot_carry: Any = "auto"    # True | False | "auto"; PMOE_ROLLOUT_SLOTS wins
     model_name: str = "unet"    # config parity; weights grafted by trainer
     model_path: str = ""
     dtype: Dtype = jnp.float32
@@ -156,6 +284,7 @@ class PredictiveUNet(nn.Module):
                 return pooled[:, -1]
             return masks[:, -1]
 
+        slots = _use_slots(self.slot_carry)
         cell_kwargs = dict(
             past_frames=self.past_frames,
             num_classes=self.num_classes,
@@ -166,12 +295,20 @@ class PredictiveUNet(nn.Module):
             train=train,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            slots=slots,
             name="rollout",
         )
+        buf0 = masks
+        if slots:
+            # fixed-slot ring buffer: channel-stacked, slot i starts holding
+            # canonical frame i (shift 0 at step 0)
+            buf0 = jnp.moveaxis(masks, 1, 3).reshape(
+                B, H, W, self.past_frames * self.num_classes)
+        steps = jnp.arange(self.future_frames, dtype=jnp.int32)
         if self.is_initializing():
             # Create params + batch_stats with ONE unscanned step; nn.scan's
             # variable_carry requires carried collections to exist beforehand.
-            _, (mask1, inter1) = _RolloutCell(**cell_kwargs)(masks, None)
+            _, (mask1, inter1) = _RolloutCell(**cell_kwargs)(buf0, steps[0])
             outs = jnp.repeat(mask1[None], self.future_frames, axis=0)
             inters = jnp.repeat(inter1[None], self.future_frames, axis=0)
         else:
@@ -190,7 +327,7 @@ class PredictiveUNet(nn.Module):
                 out_axes=0,
                 length=self.future_frames,
             )
-            _, (outs, inters) = scan_cls(**cell_kwargs)(masks, None)
+            _, (outs, inters) = scan_cls(**cell_kwargs)(buf0, steps)
 
         if self.inter_repr:
             return inters[-1]                     # bottleneck of last rollout step

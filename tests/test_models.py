@@ -147,3 +147,74 @@ def test_punet_remat_resolution(monkeypatch):
     assert _use_remat(True, 10, 6, 224) is False
     monkeypatch.setenv("PMOE_PUNET_REMAT", "1")
     assert _use_remat(False, 10, 6, 224) is True
+
+
+def test_slot_rollout_matches_deque_rollout():
+    """The slot-rotated ring-buffer carry (PMOE_ROLLOUT_SLOTS, default on) is
+    the deque rollout computed with rotated gate/weights instead of shifted
+    data: identical variable trees (checkpoints interchange), near-identical
+    outputs (exact at shift 0; channel-summation reassociation after)."""
+    kw = dict(past_frames=4, future_frames=3, in_features=3, num_classes=5)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 32, 3))
+    m_old = PredictiveUNet(slot_carry=False, **kw)
+    m_new = PredictiveUNet(slot_carry=True, **kw)
+    v_old = m_old.init({"params": jax.random.PRNGKey(0)}, x)
+    v_new = m_new.init({"params": jax.random.PRNGKey(0)}, x)
+
+    assert (jax.tree_util.tree_structure(v_old)
+            == jax.tree_util.tree_structure(v_new))
+    for (p1, a), (p2, b) in zip(jax.tree_util.tree_leaves_with_path(v_old),
+                                jax.tree_util.tree_leaves_with_path(v_new)):
+        assert p1 == p2 and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # eval: same weights, same rollout
+    out_old = m_old.apply(v_old, x, False)
+    out_new = m_new.apply(v_old, x, False)
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_old),
+                               rtol=2e-5, atol=2e-5)
+
+    # train: outputs + mutated batch_stats agree (BN sees the same batches)
+    o1, s1 = m_old.apply(v_old, x, True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+    o2, s2 = m_new.apply(v_old, x, True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+    # a single-step rollout never rotates (shift stays 0): BPTT grads are
+    # bitwise-equal between the two carries
+    kw1 = dict(kw, future_frames=1)
+    m1_old = PredictiveUNet(slot_carry=False, **kw1)
+    m1_new = PredictiveUNet(slot_carry=True, **kw1)
+
+    def gradtree(fn):
+        def f(p):
+            out = fn.apply(
+                {"params": p, "batch_stats": v_old["batch_stats"]}, x, True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})[0]
+            return jnp.mean(out ** 2)
+        return jax.grad(f)(v_old["params"])
+
+    for a, b in zip(jax.tree_util.tree_leaves(gradtree(m1_old)),
+                    jax.tree_util.tree_leaves(gradtree(m1_new))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_slot_rollout_resolution(monkeypatch):
+    """PMOE_ROLLOUT_SLOTS env > constructor bool > default ON."""
+    from pmoe_tpu.models.punet import _use_slots
+
+    monkeypatch.delenv("PMOE_ROLLOUT_SLOTS", raising=False)
+    assert _use_slots("auto") is True
+    assert _use_slots(False) is False
+    assert _use_slots(True) is True
+    monkeypatch.setenv("PMOE_ROLLOUT_SLOTS", "0")
+    assert _use_slots(True) is False
+    monkeypatch.setenv("PMOE_ROLLOUT_SLOTS", "1")
+    assert _use_slots(False) is True
