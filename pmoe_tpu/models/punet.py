@@ -34,25 +34,35 @@ __all__ = ["PredictiveUNet"]
 Dtype = Any
 
 
-def _use_slots(flag) -> bool:
-    """Slot-rotated rollout carry? Resolution order:
-    PMOE_ROLLOUT_SLOTS env ("0"/"1") > explicit constructor bool > default ON.
+def _use_slots(flag, train: bool) -> bool:
+    """Slot-rotated rollout carry? Resolution order: PMOE_ROLLOUT_SLOTS env
+    ("0"/"1") > explicit constructor bool > context default (ON for frozen /
+    inference rollouts, OFF when training through the rollout).
 
-    The default (slot carry) keeps the window as a fixed (B, H, W, T*K)
-    channel-stacked buffer: each step writes ONE new mask in place
-    (``dynamic_update_slice``) and restores canonical frame order by rotating
-    the entry block's ECA gate and first-conv input-channel blocks (tiny
-    tensors) instead of shifting the 0.6 GB buffer itself. The deque path
-    (``concatenate(buf[:, 1:], new)``) plus the per-step ``moveaxis`` was
-    ~37 ms/step of HBM-bound pad/max/slice copies in the stage-3 profile
-    (tools/profile_stage3.py).
+    The slot carry keeps the window as a fixed (B, H, W, T*K) channel-stacked
+    buffer: each step writes ONE new mask in place (``dynamic_update_slice``)
+    and restores canonical frame order by rotating the entry block's ECA gate
+    and first-conv input-channel blocks (tiny tensors) instead of shifting
+    the 0.6 GB buffer itself. The deque path (``concatenate(buf[:, 1:],
+    new)``) plus the per-step ``moveaxis`` was ~37 ms/step of HBM-bound
+    pad/max/slice copies in the stage-3 profile (tools/profile_stage3.py).
+
+    Both defaults are measured on v5e (paired interleaved A/Bs):
+    * frozen forward-only rollout (the stage-3 DDPG trunks) — slots WIN:
+      learn step 888 -> 848 ms (logs/roundwork_slots_ab.log);
+    * BPTT through the rollout (the stage-1 train step, remat) — slots LOSE
+      1.32x: 471 vs 356 ms/step (logs/roundwork_slots_s1_ab.log) — under
+      remat the in-place update cannot stay in place (each step's carry is
+      saved for the backward, so the DUS becomes a full-buffer copy PLUS the
+      backward's slice/zero-fill), while the deque's concat/slice backward
+      is the pad/slice pair XLA already overlaps.
     """
     env = os.environ.get("PMOE_ROLLOUT_SLOTS", "").strip()
     if env in ("0", "1"):
         return env == "1"
     if isinstance(flag, bool):
         return flag
-    return True
+    return not train
 
 
 class _Param(nn.Module):
@@ -284,7 +294,7 @@ class PredictiveUNet(nn.Module):
                 return pooled[:, -1]
             return masks[:, -1]
 
-        slots = _use_slots(self.slot_carry)
+        slots = _use_slots(self.slot_carry, train)
         cell_kwargs = dict(
             past_frames=self.past_frames,
             num_classes=self.num_classes,

@@ -207,14 +207,17 @@ def test_slot_rollout_matches_deque_rollout():
 
 
 def test_slot_rollout_resolution(monkeypatch):
-    """PMOE_ROLLOUT_SLOTS env > constructor bool > default ON."""
+    """PMOE_ROLLOUT_SLOTS env > constructor bool > context default: slots for
+    frozen/inference rollouts (train=False), deque when training through the
+    rollout (both measured on v5e — see _use_slots docstring)."""
     from pmoe_tpu.models.punet import _use_slots
 
     monkeypatch.delenv("PMOE_ROLLOUT_SLOTS", raising=False)
-    assert _use_slots("auto") is True
-    assert _use_slots(False) is False
-    assert _use_slots(True) is True
+    assert _use_slots("auto", train=False) is True
+    assert _use_slots("auto", train=True) is False
+    assert _use_slots(False, train=False) is False
+    assert _use_slots(True, train=True) is True
     monkeypatch.setenv("PMOE_ROLLOUT_SLOTS", "0")
-    assert _use_slots(True) is False
+    assert _use_slots(True, train=False) is False
     monkeypatch.setenv("PMOE_ROLLOUT_SLOTS", "1")
-    assert _use_slots(False) is True
+    assert _use_slots(False, train=True) is True
