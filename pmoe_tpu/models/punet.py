@@ -34,35 +34,45 @@ __all__ = ["PredictiveUNet"]
 Dtype = Any
 
 
-def _use_slots(flag, train: bool) -> bool:
-    """Slot-rotated rollout carry? Resolution order: PMOE_ROLLOUT_SLOTS env
-    ("0"/"1") > explicit constructor bool > context default (ON for frozen /
-    inference rollouts, OFF when training through the rollout).
+def _use_slots(flag, train: bool):
+    """Which rollout-carry form? Resolution order: PMOE_ROLLOUT_SLOTS env
+    ("0" deque / "1" channel-folded slots / "2" frame-slab slots) > explicit
+    constructor value > context default (channel-folded for frozen/inference
+    rollouts, frame-slab when training through the rollout).
 
-    The slot carry keeps the window as a fixed (B, H, W, T*K) channel-stacked
-    buffer: each step writes ONE new mask in place (``dynamic_update_slice``)
-    and restores canonical frame order by rotating the entry block's ECA gate
-    and first-conv input-channel blocks (tiny tensors) instead of shifting
-    the 0.6 GB buffer itself. The deque path (``concatenate(buf[:, 1:],
-    new)``) plus the per-step ``moveaxis`` was ~37 ms/step of HBM-bound
-    pad/max/slice copies in the stage-3 profile (tools/profile_stage3.py).
+    Both slot forms replace the deque shift (``concatenate(buf[:, 1:],
+    new)``, lowered to HBM-bound pad/maximum + slice passes — ~37 ms/step in
+    the stage-3 profile, tools/profile_stage3.py) with ONE
+    ``dynamic_update_slice`` write at slot ``step % T`` plus a rotation of
+    the entry block's ECA gate and first-conv input channels (tiny tensors):
 
-    Both defaults are measured on v5e (paired interleaved A/Bs):
-    * frozen forward-only rollout (the stage-3 DDPG trunks) — slots WIN:
-      learn step 888 -> 848 ms (logs/roundwork_slots_ab.log);
-    * BPTT through the rollout (the stage-1 train step, remat) — slots LOSE
-      1.32x: 471 vs 356 ms/step (logs/roundwork_slots_s1_ab.log) — under
-      remat the in-place update cannot stay in place (each step's carry is
-      saved for the backward, so the DUS becomes a full-buffer copy PLUS the
-      backward's slice/zero-fill), while the deque's concat/slice backward
-      is the pad/slice pair XLA already overlaps.
+    * ``True`` — channel-folded (B, H, W, T*K) carry: no per-step moveaxis,
+      the gate multiply fuses into conv_0's input; the DUS read-modify-writes
+      every (8,128) tile (the 23-channel slab is a sub-tile lane range and
+      92 lanes pad to 128), which the saved transpose pass still beats.
+    * ``"slab"`` — keeps the 5-D (B, T, H, W, K) carry and slots along the
+      frame dim: the DUS writes one contiguous tile-aligned slab, no lane
+      padding, but the entry block pays the deque path's fused
+      moveaxis+gate pass.
+
+    Measured on v5e (paired interleaved A/Bs, 4 windows each):
+
+    | regime | deque | channel slots | slab slots |
+    |---|---|---|---|
+    | stage-3 learn (frozen rollout, b64) | 888 ms | **841-848 ms** | 847 ms |
+    | stage-1 train step (BPTT+remat, bs 10) | 356 ms | 471 ms | **354 ms** |
+
+    (logs/roundwork_slots_ab.log, _s1_ab.log, _slab_ab.log, _s1_slab.log.)
+    The channel form loses under BPTT because every remat recompute re-pays
+    the padded-lane RMW and the saved carries are full-buffer copies; the
+    slab form's aligned writes are free of both.
     """
     env = os.environ.get("PMOE_ROLLOUT_SLOTS", "").strip()
-    if env in ("0", "1"):
-        return env == "1"
-    if isinstance(flag, bool):
+    if env in ("0", "1", "2"):
+        return {"0": False, "1": True, "2": "slab"}[env]
+    if isinstance(flag, bool) or flag == "slab":
         return flag
-    return not train
+    return "slab" if train else True
 
 
 class _Param(nn.Module):
@@ -189,13 +199,28 @@ class _RolloutCell(nn.Module):
     train: bool
     dtype: Dtype
     param_dtype: Dtype
-    slots: bool = False
+    slots: Any = False      # False | True (channel-folded) | "slab"
 
     @nn.compact
     def __call__(self, buf: jnp.ndarray, step):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         T, K = self.past_frames, self.num_classes
-        if self.slots:
+        if self.slots == "slab":
+            # slot semantics on the 5-D carry: the new mask replaces slot
+            # step%T along the frame dim (a contiguous, tile-aligned slab —
+            # the channel-folded carry's DUS had to read-modify-write every
+            # (8,128) tile because the 23-channel slab is a sub-tile lane
+            # range), and the entry block rotates gate/weights as in the
+            # channel-folded mode.
+            B, _T, H, W, _K = buf.shape
+            shift = jnp.mod(step.astype(jnp.int32), T)
+            stacked = jnp.moveaxis(buf, 1, 3).reshape(B, H, W, T * K)
+            x = _SlotEntryBlock(frames=T, classes=K,
+                                out_channels=self.in_features,
+                                gamma=self.gamma, b=self.b,
+                                name="entry_block", **kw)(stacked, shift,
+                                                          self.train)
+        elif self.slots:
             B = buf.shape[0]
             shift = jnp.mod(step.astype(jnp.int32), T)
             x = _SlotEntryBlock(frames=T, classes=K,
@@ -219,7 +244,10 @@ class _RolloutCell(nn.Module):
             inter, next_mask = out
         else:
             inter, next_mask = jnp.zeros((B, 1), self.dtype), out
-        if self.slots:
+        if self.slots == "slab":
+            new_buf = jax.lax.dynamic_update_slice(
+                buf, next_mask.astype(buf.dtype)[:, None], (0, shift, 0, 0, 0))
+        elif self.slots:
             new_buf = jax.lax.dynamic_update_slice(
                 buf, next_mask.astype(buf.dtype), (0, 0, 0, shift * K))
         else:
@@ -309,9 +337,10 @@ class PredictiveUNet(nn.Module):
             name="rollout",
         )
         buf0 = masks
-        if slots:
+        if slots and slots != "slab":
             # fixed-slot ring buffer: channel-stacked, slot i starts holding
-            # canonical frame i (shift 0 at step 0)
+            # canonical frame i (shift 0 at step 0); "slab" keeps the 5-D
+            # (B, T, H, W, K) carry and slots along the frame dim
             buf0 = jnp.moveaxis(masks, 1, 3).reshape(
                 B, H, W, self.past_frames * self.num_classes)
         steps = jnp.arange(self.future_frames, dtype=jnp.int32)

@@ -149,15 +149,17 @@ def test_punet_remat_resolution(monkeypatch):
     assert _use_remat(False, 10, 6, 224) is True
 
 
-def test_slot_rollout_matches_deque_rollout():
-    """The slot-rotated ring-buffer carry (PMOE_ROLLOUT_SLOTS, default on) is
-    the deque rollout computed with rotated gate/weights instead of shifted
-    data: identical variable trees (checkpoints interchange), near-identical
-    outputs (exact at shift 0; channel-summation reassociation after)."""
+@pytest.mark.parametrize("mode", [True, "slab"])
+def test_slot_rollout_matches_deque_rollout(mode):
+    """The slot-rotated ring-buffer carry (PMOE_ROLLOUT_SLOTS; channel-folded
+    or frame-slab form) is the deque rollout computed with rotated
+    gate/weights instead of shifted data: identical variable trees
+    (checkpoints interchange), near-identical outputs (exact at shift 0;
+    channel-summation reassociation after)."""
     kw = dict(past_frames=4, future_frames=3, in_features=3, num_classes=5)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 32, 3))
     m_old = PredictiveUNet(slot_carry=False, **kw)
-    m_new = PredictiveUNet(slot_carry=True, **kw)
+    m_new = PredictiveUNet(slot_carry=mode, **kw)
     v_old = m_old.init({"params": jax.random.PRNGKey(0)}, x)
     v_new = m_new.init({"params": jax.random.PRNGKey(0)}, x)
 
@@ -190,7 +192,7 @@ def test_slot_rollout_matches_deque_rollout():
     # bitwise-equal between the two carries
     kw1 = dict(kw, future_frames=1)
     m1_old = PredictiveUNet(slot_carry=False, **kw1)
-    m1_new = PredictiveUNet(slot_carry=True, **kw1)
+    m1_new = PredictiveUNet(slot_carry=mode, **kw1)
 
     def gradtree(fn):
         def f(p):
@@ -207,17 +209,21 @@ def test_slot_rollout_matches_deque_rollout():
 
 
 def test_slot_rollout_resolution(monkeypatch):
-    """PMOE_ROLLOUT_SLOTS env > constructor bool > context default: slots for
-    frozen/inference rollouts (train=False), deque when training through the
-    rollout (both measured on v5e — see _use_slots docstring)."""
+    """PMOE_ROLLOUT_SLOTS env > constructor value > context default:
+    channel-folded slots for frozen/inference rollouts, frame-slab slots
+    when training through the rollout (all measured on v5e — see the
+    _use_slots docstring)."""
     from pmoe_tpu.models.punet import _use_slots
 
     monkeypatch.delenv("PMOE_ROLLOUT_SLOTS", raising=False)
     assert _use_slots("auto", train=False) is True
-    assert _use_slots("auto", train=True) is False
+    assert _use_slots("auto", train=True) == "slab"
     assert _use_slots(False, train=False) is False
     assert _use_slots(True, train=True) is True
+    assert _use_slots("slab", train=False) == "slab"
     monkeypatch.setenv("PMOE_ROLLOUT_SLOTS", "0")
     assert _use_slots(True, train=False) is False
     monkeypatch.setenv("PMOE_ROLLOUT_SLOTS", "1")
     assert _use_slots(False, train=True) is True
+    monkeypatch.setenv("PMOE_ROLLOUT_SLOTS", "2")
+    assert _use_slots(False, train=False) == "slab"
