@@ -23,6 +23,8 @@ help() {
   echo "                         (--openscenario FILE.xosc runs an OpenSCENARIO doc;"
   echo "                          --record OUT.json saves a recording for 'metrics')"
   echo "  metrics [args]         run a metric class over a recording (metrics_manager analog)"
+  echo "  pretty_print -f JSON   print a leaderboard results JSON as tables (scripts/pretty_print_json analog)"
+  echo "  scenario_lint -f JSON  validate trigger annotations vs the route library (scripts/set_new_scenarios analog)"
   echo "  bench                  run the perf benchmark (bench.py)"
   echo "  -h | --help            show this help"
 }
@@ -38,6 +40,8 @@ case "$1" in
   collect)         shift; python -m pmoe_tpu.agents.collect "$@" ;;
   scenario)        shift; python -m pmoe_tpu.eval.scenario_cli "$@" ;;
   metrics)         shift; python -m pmoe_tpu.eval.metrics_manager "$@" ;;
+  pretty_print)    shift; python -m pmoe_tpu.eval.pretty_print "$@" ;;
+  scenario_lint)   shift; python -m pmoe_tpu.eval.scenario_lint "$@" ;;
   bench)           python bench.py ;;
   -h|--help|*)     help ;;
 esac

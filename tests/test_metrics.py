@@ -93,3 +93,64 @@ def test_recorder_captures_collisions():
         {"header": rec.header, "frames": rec.frames, "criteria": {}})
     assert log.get_collisions()
     backend.close()
+
+
+def test_pretty_print_leaderboard_json(tmp_path):
+    """pretty_print renders a StatisticsManager checkpoint: progress line,
+    global tables, per-route analysis with per-km infraction rates
+    (reference leaderboard/scripts/pretty_print_json.py)."""
+    from pmoe_tpu.eval.pretty_print import prettify
+    from pmoe_tpu.eval.statistics import StatisticsManager
+
+    sm = StatisticsManager()
+    sm.set_route("route_0", 0)
+    rec = sm.compute_route_statistics(
+        0, 80.0, {"collision_vehicle": [{"type": "vehicle"}]},
+        duration_game=120.0)
+    rec.meta["route_length"] = 2000.0          # 80% of 2 km -> 1.6 km
+    path = tmp_path / "results.json"
+    sm.save(str(path))
+
+    text = prettify(str(path))
+    assert "routes completed" in text
+    assert "Global average metrics" in text
+    assert "score_composed" in text
+    assert "Per-route analysis" in text
+    assert "collision_vehicle" in text
+    assert "0.625 (1 occurrences)" in text     # 1 / 1.6 km
+    assert "distance driven" in text
+
+
+def test_scenario_lint_reports_counts_and_coverage():
+    """scenario_lint validates the shipped annotations against the shipped
+    route library: per-town trigger counts, per-route matcher results, and a
+    global coverage line (reference leaderboard/scripts/set_new_scenarios.py
+    semantics, minus the live-world debug drawing)."""
+    from pmoe_tpu.eval.scenario_lint import lint
+
+    text = lint("pmoe_tpu/assets/scenarios/all_towns_traffic_scenarios.json",
+                "pmoe_tpu/assets/routes/routes_all.xml")
+    assert "== Town01:" in text and "== Town02:" in text
+    assert "route 0:" in text
+    assert "coverage:" in text
+    # the shipped assets must not contain aliasing duplicate triggers
+    assert "DUP" not in text
+
+
+def test_scenario_lint_flags_aliasing_triggers(tmp_path):
+    """Two same-type triggers closer than 4 m / 10 deg alias at injection
+    time (set_new_scenarios.py apart_enough) — lint must flag them."""
+    import json
+
+    from pmoe_tpu.eval.scenario_lint import lint
+
+    ann = {"available_scenarios": [{"Town01": [{
+        "scenario_type": "Scenario3",
+        "available_event_configurations": [
+            {"transform": {"x": 100.0, "y": 55.0, "z": 0.0, "yaw": 0.0}},
+            {"transform": {"x": 101.5, "y": 55.0, "z": 0.0, "yaw": 5.0}},
+        ]}]}]}
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(ann))
+    text = lint(str(p))
+    assert "DUP Scenario3" in text
