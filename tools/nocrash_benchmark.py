@@ -1,0 +1,187 @@
+"""Full NoCrash benchmark protocol: train a checkpoint, run the official
+evaluator across towns x weathers x traffic, render the reference's tables.
+
+The reference computes its NoCrash headline numbers at run time from the
+episode CSVs (/root/reference/PMoE/eval/view_benchmark_results.py:39-62;
+CSV schema runners/nocrash_runner.py:34-43) — it publishes none. This tool
+produces the same artifact end-to-end on THIS framework: expert data
+collection -> stage-2 behavior cloning -> the NoCrash protocol
+(traffic {empty,regular,dense} x suite routes x weather group, per town)
+through the official CLI path (pmoe_tpu.eval.evaluate_nocrash) -> the
+Success Rate / Route Completion / Lights Ran tables, written to RESULTS.md.
+
+Training data comes from Town01 only; Town02 and the test weathers are
+held out — the same train/test split the NoCrash benchmark defines.
+
+Usage:
+  python tools/nocrash_benchmark.py --workdir logs/nocrash_bench \
+      [--towns Town01 Town02] [--weathers train test] [--routes N]
+      [--episodes 8] [--epochs 10] [--arch resnet18] [--max-ticks 1500]
+      [--out RESULTS.md]
+
+Resumable: collection, training, and finished episodes (CSV resume) are all
+skipped when their artifacts already exist in --workdir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/pmoe_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+import yaml
+
+
+def model_cfg(arch: str, n_experts: int = 2):
+    mlp = lambda dims, act="relu", l_act=False: {
+        "dims": dims, "act": act, "l_act": l_act, "bn": False, "dropout": 0.0}
+    return {
+        "type": "moe", "n_experts": n_experts, "loss_coefs": [0.7, 0.3],
+        "speed_encoder": mlp([1, 128, 512]),
+        "command_encoder": mlp([6, 128, 512]),
+        "speed_prediction": mlp([1536, 128, 1]),
+        "action_head": mlp([1536, 128, 512], "elu", True),
+        "backbone": {"type": "rgb", "n_frames": 4,
+                     "rgb": {"arch": arch, "pretrained": False,
+                             "gamma": 2, "b": 1}},
+    }
+
+
+def collect(data_dir: Path, episodes: int, ticks: int) -> int:
+    from pmoe_tpu.agents.collector_agent import collect_episode
+    from pmoe_tpu.sim.fake_carla import FakeCarlaBackend
+
+    if data_dir.exists() and any(data_dir.iterdir()):
+        print(f"[bench] reusing collected data in {data_dir}")
+        return -1
+    backend = FakeCarlaBackend(img_width=800, img_height=600, render_seg=True)
+    n_spawn = len(backend.spawn_points())
+    total = 0
+    for ep in range(episodes):
+        total += collect_episode(
+            backend, str(data_dir), f"episode_{ep:03d}",
+            start_idx=(3 * ep) % n_spawn,
+            target_idx=(3 * ep + 4) % n_spawn,
+            weather=[1, 3, 6, 8][ep % 4],   # train weathers only
+            max_ticks=ticks, noise_std=0.03, seed=ep)
+    print(f"[bench] collected {total} frames over {episodes} episodes")
+    return total
+
+
+def train(data_dir: Path, ckpt_dir: Path, arch: str, epochs: int,
+          batch: int) -> Path:
+    ckpt = ckpt_dir / "moe-best.ckpt"
+    if ckpt.exists():
+        print(f"[bench] reusing checkpoint {ckpt}")
+        return ckpt
+    from pmoe_tpu.trainer.train_2 import Learner
+    from pmoe_tpu.utils import Config
+
+    ds = {"root": str(data_dir), "crop": [125, 90], "resize": [224, 224],
+          "seed": 0, "aug_type": "medium", "batch_size": batch,
+          "boost": 1, "n_commands": 6, "speed_factor": 10,
+          "past_frames": 4, "future_frames": 1}
+    cfg = {
+        "train_params": {"epochs": epochs, "optimizer": "adam",
+                         "save_every": max(epochs, 1), "swa_start": 10**9,
+                         "grad_clipping": 1.0, "start_saving_best": 0},
+        "logger": {"disabled": True},
+        "dataloader": {"batch_size": batch, "shuffle": True},
+        "directory": {"model_name": "moe", "save": str(ckpt_dir), "load": ""},
+        "adam": {"lr": 5e-4, "betas": [0.9, 0.999], "eps": 1e-8,
+                 "weight_decay": 0, "amsgrad": False},
+        "SWA": {"swa_lr": 5e-4},
+        "dataset": ds, "val_dataset": dict(ds),
+        "model": model_cfg(arch),
+    }
+    learner = Learner(Config(cfg))
+    t0 = time.perf_counter()
+    learner.train()
+    assert ckpt.exists(), "training produced no best checkpoint"
+    print(f"[bench] trained {learner.iteration} steps "
+          f"in {time.perf_counter() - t0:.0f}s -> {ckpt}")
+    return ckpt
+
+
+def write_agent_conf(path: Path, ckpt: Path, arch: str) -> Path:
+    conf = {
+        "sensors": {"img_width": 800, "img_height": 600},
+        "logger": {"disabled": True},
+        "model": {"actor": dict(model_cfg(arch), n_commands=6,
+                                model_dir=str(ckpt))},
+    }
+    path.write_text(yaml.safe_dump(conf))
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="logs/nocrash_bench")
+    ap.add_argument("--towns", nargs="+", default=["Town01", "Town02"])
+    ap.add_argument("--weathers", nargs="+", default=["train", "test"])
+    ap.add_argument("--routes", type=int, default=None,
+                    help="limit suite routes per town")
+    ap.add_argument("--episodes", type=int, default=8)
+    ap.add_argument("--ticks", type=int, default=400)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--arch", default="resnet18")
+    ap.add_argument("--max-ticks", type=int, default=1500)
+    ap.add_argument("--out", default=None, help="write the tables here")
+    args = ap.parse_args()
+
+    work = Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    results_dir = work / "results"
+
+    collect(work / "data", args.episodes, args.ticks)
+    ckpt = train(work / "data", work / "ckpt", args.arch, args.epochs,
+                 args.batch)
+    conf = write_agent_conf(work / "benchmark_agent.yaml", ckpt, args.arch)
+
+    from pmoe_tpu.eval import evaluate_nocrash
+
+    for town in args.towns:
+        for weather in args.weathers:
+            print(f"[bench] === {town} / {weather} weathers ===")
+            t0 = time.perf_counter()
+            argv = ["--town", town, "--weather", weather,
+                    "--config", str(conf), "--backend", "fake",
+                    "--log-dir", str(results_dir), "--resume",
+                    "--max-ticks", str(args.max_ticks)]
+            if args.routes is not None:
+                argv += ["--routes", str(args.routes)]
+            evaluate_nocrash.main(argv)
+            print(f"[bench] {town}/{weather} done "
+                  f"in {time.perf_counter() - t0:.0f}s")
+
+    from pmoe_tpu.eval.view_results import view_results
+
+    sections = []
+    for metric in ("Success Rate", "Route Completion", "Lights Ran"):
+        table = view_results(str(results_dir), metric)
+        sections.append(f"## {metric}\n\n```\n{table}\n```")
+        print(f"\n=== {metric} ===\n{table}")
+    if args.out:
+        Path(args.out).write_text(
+            "# NoCrash benchmark results\n\n"
+            "Produced by `python tools/nocrash_benchmark.py` — the full "
+            "NoCrash protocol (traffic x suite routes x weather group per "
+            "town) on the fake backend with a stage-2 behavior-cloned "
+            f"checkpoint ({args.arch}, Town01 train-weather data only; "
+            "Town02 and the test weathers are held out).\n\n"
+            + "\n\n".join(sections) + "\n")
+        print(f"[bench] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
