@@ -99,6 +99,13 @@ class ImageAgent(AutonomousAgent):
                                     if "batch_stats" in ck
                                     else variables.get("batch_stats", {})),
                 }
+                # commit the restored tree to the device ONCE: graft returns
+                # host numpy leaves, and numpy arguments are re-uploaded on
+                # EVERY jitted call — ~90 MB/tick through the agent hot loop
+                # (7.5 s/tick on a 12 MB/s tunneled link; silent PCIe waste
+                # locally). jit_init outputs are already device-resident, so
+                # only the checkpoint path needs this.
+                variables = jax.device_put(variables)
         # optional expert-parallel inference: the stacked-expert axis of the
         # MoE params shards over an 'expert' mesh and XLA partitions the
         # jitted sample accordingly (the cache key includes the actor cfg,

@@ -204,9 +204,16 @@ class BaseLearner:
                       for i in range(treedef.num_leaves)]
             opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
         swa = ck.get("model-swa")
+        # device_put: graft/unflatten yield host numpy leaves; committing
+        # them here makes the restore a single upload instead of re-paying
+        # host->device transfers on calls that don't carry the state
+        # (validation before the first train step, frozen-subtree reads)
         self.state = self.state.replace(
-            params=params, batch_stats=batch_stats, opt_state=opt_state,
-            swa_params=graft(self.state.params, swa) if swa is not None else None,
+            params=jax.device_put(params),
+            batch_stats=jax.device_put(batch_stats),
+            opt_state=jax.device_put(opt_state),
+            swa_params=(jax.device_put(graft(self.state.params, swa))
+                        if swa is not None else None),
             swa_n=jnp.asarray(ck["swa_n"]) if "swa_n" in ck else None,
             step=jnp.asarray(self.iteration, jnp.int32))
 

@@ -81,8 +81,12 @@ def train(cfg) -> Agent:
     model_dir = str(mcfg.get("actor", {}).get("model_dir", ""))
     if model_dir and Path(model_dir).exists():
         ck = load_checkpoint(model_dir)
-        restored = graft(agent.state.actor_params, ck.get("model", ck),
-                         verbose=True)
+        # device_put: graft returns host numpy leaves, which jitted calls
+        # would otherwise re-upload on every agent.sample until the first
+        # learn() returns a device-resident state (ruinous over a tunnel)
+        restored = jax.device_put(
+            graft(agent.state.actor_params, ck.get("model", ck),
+                  verbose=True))
         agent.state = agent.state._replace(
             actor_params=restored,
             target_actor_params=jax.tree_util.tree_map(jnp.array, restored))

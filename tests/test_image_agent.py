@@ -56,6 +56,41 @@ def test_pipeline_applies_previous_ticks_action(tiny_moe_cfg):
     pipe_agent.destroy()
 
 
+def test_restored_variables_are_device_resident(tiny_moe_cfg, tmp_path):
+    """Checkpoint restore must commit the variables to the device ONCE.
+
+    ``graft`` returns host numpy leaves; if those stay in
+    ``agent._variables``, every jitted ``run_step`` re-uploads the whole
+    param tree (~90 MB/tick for the benchmark agent — 7.5 s/tick over a
+    12 MB/s tunneled link, observed as a wedged NoCrash run). jit-init'd
+    agents were never affected; only the model_dir path regressed.
+    """
+    import jax
+
+    from pmoe_tpu.utils.io import save_checkpoint
+
+    donor = _mk_agent(tiny_moe_cfg, pipeline=False)
+    save_checkpoint({"model": jax.tree_util.tree_map(np.asarray,
+                                                     donor._variables["params"])},
+                    False, tmp_path, "tiny")
+    cfg = Config({
+        "logger": {"disabled": True},
+        "model": {"actor": dict(tiny_moe_cfg, n_commands=4,
+                                model_dir=str(tmp_path / "tiny.ckpt"))},
+    })
+    agent = ImageAgent(cfg)
+    leaves = jax.tree_util.tree_leaves(agent._variables)
+    assert leaves, "agent has no variables"
+    hosts = [l for l in leaves if not isinstance(l, jax.Array)]
+    assert not hosts, f"{len(hosts)}/{len(leaves)} leaves are host arrays"
+    # and the restored weights actually made it in
+    ref = jax.tree_util.tree_leaves(donor._variables["params"])
+    got = jax.tree_util.tree_leaves(agent._variables["params"])
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]))
+    agent.destroy()
+    donor.destroy()
+
+
 def test_pipeline_default_on_and_config_off(tiny_moe_cfg):
     assert _mk_agent(tiny_moe_cfg, True)._pipeline is True
     cfg = Config({

@@ -163,24 +163,33 @@ def main():
             evaluate_nocrash.main(argv)
             print(f"[bench] {town}/{weather} done "
                   f"in {time.perf_counter() - t0:.0f}s")
+            # incremental render: an interrupted run still leaves tables
+            # for everything finished so far (episodes resume via the CSVs)
+            render(results_dir, args.arch, args.out)
 
+    render(results_dir, args.arch, args.out, echo=True)
+
+
+def render(results_dir: Path, arch: str, out: str | None,
+           echo: bool = False) -> None:
     from pmoe_tpu.eval.view_results import view_results
 
     sections = []
     for metric in ("Success Rate", "Route Completion", "Lights Ran"):
         table = view_results(str(results_dir), metric)
         sections.append(f"## {metric}\n\n```\n{table}\n```")
-        print(f"\n=== {metric} ===\n{table}")
-    if args.out:
-        Path(args.out).write_text(
+        if echo:
+            print(f"\n=== {metric} ===\n{table}")
+    if out:
+        Path(out).write_text(
             "# NoCrash benchmark results\n\n"
             "Produced by `python tools/nocrash_benchmark.py` — the full "
             "NoCrash protocol (traffic x suite routes x weather group per "
             "town) on the fake backend with a stage-2 behavior-cloned "
-            f"checkpoint ({args.arch}, Town01 train-weather data only; "
+            f"checkpoint ({arch}, Town01 train-weather data only; "
             "Town02 and the test weathers are held out).\n\n"
             + "\n\n".join(sections) + "\n")
-        print(f"[bench] wrote {args.out}")
+        print(f"[bench] wrote {out}")
 
 
 if __name__ == "__main__":
