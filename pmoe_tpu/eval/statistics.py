@@ -40,7 +40,12 @@ class NoCrashStatisticsManager:
         self.path = os.path.join(log_dir, f"{town}_{weather}.csv")
         self.finished_tasks: Dict[str, Dict[Tuple, List]] = {
             "Town01": {}, "Town02": {}}
-        if resume and os.path.exists(self.path):
+        # resume only onto a CSV that actually has its header row: a run
+        # aborted between file creation and the header write leaves an empty
+        # file, and appending to it produces a headerless CSV that poisons
+        # every later DictReader (resume AND view_results)
+        if (resume and os.path.exists(self.path)
+                and os.path.getsize(self.path) > 0):
             self._load()
             self._file = open(self.path, "a", newline="")
             self._writer = csv.DictWriter(self._file, fieldnames=self.headers)

@@ -116,6 +116,25 @@ def test_nocrash_episode_loop(tmp_path):
     stats2.close()
 
 
+def test_nocrash_resume_onto_empty_csv_writes_header(tmp_path):
+    """Resuming onto an EMPTY csv (a run aborted between file creation and
+    the header write) must start fresh with a header — appending produces a
+    headerless file whose first data row becomes the DictReader header,
+    poisoning later resume and view_results (KeyError: 'weather')."""
+    csv_path = tmp_path / "Town01_train.csv"
+    csv_path.write_text("")
+    stats = NoCrashStatisticsManager(str(tmp_path), "Town01", "train",
+                                     resume=True)
+    stats.log("Town01", 0, 1, 0, 13, 42.0, 0, 8.5)
+    stats.close()
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0].startswith("town,traffic,weather"), lines[0]
+    stats2 = NoCrashStatisticsManager(str(tmp_path), "Town01", "train",
+                                      resume=True)
+    assert stats2.is_finished("Town01", (0, 13), 1, 0)
+    stats2.close()
+
+
 def test_nocrash_record_dir_feeds_metrics(tmp_path):
     """--record-dir on the NoCrash evaluator writes recordings the metrics
     module can replay (reference metrics_manager flow over recorder logs)."""
