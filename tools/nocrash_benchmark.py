@@ -165,13 +165,13 @@ def main():
                   f"in {time.perf_counter() - t0:.0f}s")
             # incremental render: an interrupted run still leaves tables
             # for everything finished so far (episodes resume via the CSVs)
-            render(results_dir, args.arch, args.out)
+            render(results_dir, args.arch, args.out, routes=args.routes)
 
-    render(results_dir, args.arch, args.out, echo=True)
+    render(results_dir, args.arch, args.out, routes=args.routes, echo=True)
 
 
 def render(results_dir: Path, arch: str, out: str | None,
-           echo: bool = False) -> None:
+           routes: int | None = None, echo: bool = False) -> None:
     from pmoe_tpu.eval.view_results import view_results
 
     sections = []
@@ -180,14 +180,21 @@ def render(results_dir: Path, arch: str, out: str | None,
         sections.append(f"## {metric}\n\n```\n{table}\n```")
         if echo:
             print(f"\n=== {metric} ===\n{table}")
+    scope = ("the full suite route set" if routes is None
+             else f"the first {routes} suite route(s) per town")
     if out:
         Path(out).write_text(
             "# NoCrash benchmark results\n\n"
-            "Produced by `python tools/nocrash_benchmark.py` — the full "
-            "NoCrash protocol (traffic x suite routes x weather group per "
-            "town) on the fake backend with a stage-2 behavior-cloned "
+            "Produced by `python tools/nocrash_benchmark.py` — the NoCrash "
+            "protocol (traffic x routes x weather group per town, over "
+            f"{scope}) on the fake backend with a stage-2 behavior-cloned "
             f"checkpoint ({arch}, Town01 train-weather data only; "
-            "Town02 and the test weathers are held out).\n\n"
+            "Town02 and the test weathers are held out). Success Rate "
+            "counts only episodes at 100% route completion with no "
+            "terminal collision (the NoCrash rule); Route Completion is "
+            "the honest summary for a lightly-trained checkpoint — the "
+            "e2e evidence in PERF.md shows training lifts it (30.5% "
+            "untrained -> 61.5% trained on a held-out route).\n\n"
             + "\n\n".join(sections) + "\n")
         print(f"[bench] wrote {out}")
 
