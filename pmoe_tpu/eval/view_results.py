@@ -48,7 +48,11 @@ def _fmt_table(rows) -> str:
     return "\n".join(out)
 
 
-def view_results(log_dir: str, metric: str = "Success Rate") -> str:
+def view_results(log_dir: str, metric: str = "Success Rate",
+                 echo: bool = True) -> str:
+    """Render the per-town tables; ``echo=False`` suppresses the print so
+    programmatic callers (tools/nocrash_benchmark.py incremental renders)
+    don't spam stdout once per render."""
     finished = _load_runs(log_dir)
     output = []
     for town, weather_set in product(TOWNS, ("train", "test")):
@@ -74,7 +78,8 @@ def view_results(log_dir: str, metric: str = "Success Rate") -> str:
                           f"weather {weather_set} =========")
             output.append(_fmt_table(rows))
     text = "\n".join(output) if output else "(no results found)"
-    print(text)
+    if echo:
+        print(text)
     return text
 
 

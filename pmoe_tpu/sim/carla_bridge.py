@@ -9,6 +9,13 @@ and red-light detection against the world's traffic lights.
 Import is gated: constructing :class:`CarlaBackend` without the ``carla`` wheel
 raises a clear error; the rest of the framework never imports this module
 unless ``backend: carla`` is configured.
+
+**Validation status:** this bridge is contract-tested against a MOCKED
+``carla`` 0.9.10 API (tests/test_carla_bridge.py — sensor wiring, sync-mode
+settings, traffic-light queries, route tracing, teardown), which is the best
+available in a simulator-less environment. It has NEVER been run against a
+live CARLA server; until someone exercises it against CARLA 0.9.10.1, treat
+the real-server seam as untested (the fake backend is the tested path).
 """
 
 from __future__ import annotations

@@ -207,12 +207,25 @@ class BaseLearner:
         # device_put: graft/unflatten yield host numpy leaves; committing
         # them here makes the restore a single upload instead of re-paying
         # host->device transfers on calls that don't carry the state
-        # (validation before the first train step, frozen-subtree reads)
+        # (validation before the first train step, frozen-subtree reads).
+        # On a mesh, each leaf is committed WITH the sharding of its
+        # pre-restore counterpart (placed by build_model) — a bare
+        # device_put would land everything uncommitted on device 0 and the
+        # first jitted step would pay a full-tree reshard.
+        def commit(restored, like):
+            if self.mesh is None:
+                return jax.device_put(restored)
+            return jax.tree_util.tree_map(
+                lambda r, l: jax.device_put(
+                    r, l.sharding) if isinstance(l, jax.Array) else r,
+                restored, like)
+
         self.state = self.state.replace(
-            params=jax.device_put(params),
-            batch_stats=jax.device_put(batch_stats),
-            opt_state=jax.device_put(opt_state),
-            swa_params=(jax.device_put(graft(self.state.params, swa))
+            params=commit(params, self.state.params),
+            batch_stats=commit(batch_stats, self.state.batch_stats),
+            opt_state=commit(opt_state, self.state.opt_state),
+            swa_params=(commit(graft(self.state.params, swa),
+                               self.state.params)
                         if swa is not None else None),
             swa_n=jnp.asarray(ck["swa_n"]) if "swa_n" in ck else None,
             step=jnp.asarray(self.iteration, jnp.int32))

@@ -70,6 +70,12 @@ def test_restored_variables_are_device_resident(tiny_moe_cfg, tmp_path):
     from pmoe_tpu.utils.io import save_checkpoint
 
     donor = _mk_agent(tiny_moe_cfg, pipeline=False)
+    # perturb the donor away from the PRNGKey(0) init the restored agent
+    # also starts from — otherwise the equality check below is vacuous and
+    # would pass even if the graft silently restored nothing
+    donor._variables = dict(donor._variables)
+    donor._variables["params"] = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) + 1.0, donor._variables["params"])
     save_checkpoint({"model": jax.tree_util.tree_map(np.asarray,
                                                      donor._variables["params"])},
                     False, tmp_path, "tiny")

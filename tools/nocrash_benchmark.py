@@ -176,7 +176,7 @@ def render(results_dir: Path, arch: str, out: str | None,
 
     sections = []
     for metric in ("Success Rate", "Route Completion", "Lights Ran"):
-        table = view_results(str(results_dir), metric)
+        table = view_results(str(results_dir), metric, echo=False)
         sections.append(f"## {metric}\n\n```\n{table}\n```")
         if echo:
             print(f"\n=== {metric} ===\n{table}")
