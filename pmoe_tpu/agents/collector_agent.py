@@ -57,7 +57,15 @@ class CollectorAgent(AutonomousAgent):
             self.waypointer = Waypointer(self._global_plan, gps,
                                          threshold_before=25.0,
                                          threshold_after=25.0)
-        _, _, cmd = self.waypointer.tick(gps)
+            # a SECOND waypointer with the ImageAgent's default thresholds
+            # produces the recorded command LABEL: the 25 m pursuit
+            # waypointer runs ~20 m ahead of the ego, so its command would
+            # fire ~20 m earlier than the command the trained agent will see
+            # at eval time — a systematic train/test distribution shift in
+            # exactly the input that cues turns
+            self.label_waypointer = Waypointer(self._global_plan, gps)
+        _, _, cmd = self.label_waypointer.tick(gps)
+        self.waypointer.tick(gps)
         # pure pursuit on the node AFTER the consumed checkpoint (the
         # checkpoint sits at/behind the ego once consumed)
         nxt = min(self.waypointer.current_idx + 1,
@@ -132,9 +140,9 @@ class RandomCollectorAgent(CollectorAgent):
         _, gps = input_data["GPS"]
         _, ego = input_data["EGO"]
         if self.waypointer is None:
-            self.waypointer = Waypointer(self._global_plan, gps,
-                                         threshold_before=25.0,
-                                         threshold_after=25.0)
+            # label-only waypointer: eval-threshold commands (see
+            # CollectorAgent.run_step — no pursuit controller here)
+            self.waypointer = Waypointer(self._global_plan, gps)
         _, _, cmd = self.waypointer.tick(gps)
 
         if self._held is None or self._held_for >= self.num_repeat:
@@ -257,9 +265,8 @@ class QCollectorAgent(CollectorAgent):
         _, ego = input_data["EGO"]
         _, birdview = input_data["MAP"]
         if self.waypointer is None:
-            self.waypointer = Waypointer(self._global_plan, gps,
-                                         threshold_before=25.0,
-                                         threshold_after=25.0)
+            # label-only waypointer: eval-threshold commands
+            self.waypointer = Waypointer(self._global_plan, gps)
         _, _, cmd = self.waypointer.tick(gps)
         spd = float(ego["spd"])
         q = self._action_values(birdview, spd)
@@ -311,6 +318,7 @@ def collect_episode(backend, out_dir: str, episode: str, start_idx: int = 0,
     needs_map = getattr(agent, "track", None) == Track.MAP
     if needs_map:
         from ..sim.birdview import render_birdview
+    goal = route.positions[-1]
     for _ in range(max_ticks):
         data = build_input_data(frame)
         data["COMPASS"] = (frame.frame, frame.compass)
@@ -325,6 +333,10 @@ def collect_episode(backend, out_dir: str, episode: str, start_idx: int = 0,
         frame = backend.tick(control)
         if frame.collision is not None:
             break
+        ego = backend.ego_state()
+        if float(np.hypot(ego.x - goal[0], ego.y - goal[1])) < 5.0:
+            break          # goal reached: past here the scripted pursuit has
+                           # no target and would record garbage labels
     n = agent.idx
     agent.destroy()
     return n

@@ -46,11 +46,51 @@ from ..utils.nn import jit_init
 from .autonomous_agent import AutonomousAgent, Track
 from .waypointer import Waypointer
 
-__all__ = ["ImageAgent", "get_entry_point"]
+__all__ = ["ImageAgent", "get_entry_point", "postprocess",
+           "load_actor_variables"]
 
 
 def get_entry_point() -> str:
     return "ImageAgent"
+
+
+def postprocess(action: np.ndarray) -> VehicleControl:
+    """Asymmetric brake/throttle mapping (reference image_agent.py:114-125):
+    pedal < -0.5 brakes with steer zeroed; else throttle clip(0, 0.75)
+    floored at 0.4. Module-level so the fleet runner shares the exact
+    mapping with the per-episode agent."""
+    control = VehicleControl()
+    control.steer = float(np.clip(action[0], -1.0, 1.0))
+    if action[1] < -0.5:
+        control.throttle = 0.0
+        control.brake = float(np.clip(-action[1], 0.0, 1.0))
+        control.steer = 0.0
+    else:
+        control.throttle = max(float(np.clip(action[1], 0.0, 0.75)), 0.4)
+        control.brake = 0.0
+    return control
+
+
+def load_actor_variables(model, actor_cfg, n_frames: int, n_commands: int):
+    """Init the actor and graft its checkpoint (``model_dir``), committing the
+    restored tree to the device once (see setup(); shared with the fleet
+    runner so both restore paths are one implementation)."""
+    rng = jax.random.PRNGKey(0)
+    dummy = (jnp.zeros((1, n_frames, 224, 224, 3)), jnp.zeros((1, 1)),
+             jnp.zeros((1, n_commands)))
+    variables = jit_init(model, {"params": rng, "sample": rng}, *dummy)
+    model_dir = str(actor_cfg.get("model_dir", ""))
+    if model_dir and Path(model_dir).exists():
+        ck = load_checkpoint(model_dir)
+        variables = {
+            "params": graft(variables["params"], ck.get("model", ck)),
+            "batch_stats": (graft(variables.get("batch_stats", {}),
+                                  ck["batch_stats"])
+                            if "batch_stats" in ck
+                            else variables.get("batch_stats", {})),
+        }
+        variables = jax.device_put(variables)
+    return variables
 
 
 class ImageAgent(AutonomousAgent):
@@ -84,28 +124,11 @@ class ImageAgent(AutonomousAgent):
         if cached:
             variables = cached[2]
         else:
-            rng = jax.random.PRNGKey(0)
-            dummy = (jnp.zeros((1, self.n_frames, 224, 224, 3)),
-                     jnp.zeros((1, 1)), jnp.zeros((1, self.n_commands)))
-            variables = jit_init(self.model, {"params": rng, "sample": rng},
-                                 *dummy)
-            model_dir = str(actor_cfg.get("model_dir", ""))
-            if model_dir and Path(model_dir).exists():
-                ck = load_checkpoint(model_dir)
-                variables = {
-                    "params": graft(variables["params"], ck.get("model", ck)),
-                    "batch_stats": (graft(variables.get("batch_stats", {}),
-                                          ck["batch_stats"])
-                                    if "batch_stats" in ck
-                                    else variables.get("batch_stats", {})),
-                }
-                # commit the restored tree to the device ONCE: graft returns
-                # host numpy leaves, and numpy arguments are re-uploaded on
-                # EVERY jitted call — ~90 MB/tick through the agent hot loop
-                # (7.5 s/tick on a 12 MB/s tunneled link; silent PCIe waste
-                # locally). jit_init outputs are already device-resident, so
-                # only the checkpoint path needs this.
-                variables = jax.device_put(variables)
+            # init + graft + one-time device commit (graft returns host numpy
+            # leaves; numpy arguments re-upload on EVERY jitted call — ~90
+            # MB/tick through the agent hot loop on a tunneled link)
+            variables = load_actor_variables(self.model, actor_cfg,
+                                             self.n_frames, self.n_commands)
         # optional expert-parallel inference: the stacked-expert axis of the
         # MoE params shards over an 'expert' mesh and XLA partitions the
         # jitted sample accordingly (the cache key includes the actor cfg,
@@ -189,16 +212,7 @@ class ImageAgent(AutonomousAgent):
 
     def postprocess(self, action: np.ndarray) -> VehicleControl:
         """Asymmetric brake/throttle mapping (reference image_agent.py:114-125)."""
-        control = VehicleControl()
-        control.steer = float(np.clip(action[0], -1.0, 1.0))
-        if action[1] < -0.5:
-            control.throttle = 0.0
-            control.brake = float(np.clip(-action[1], 0.0, 1.0))
-            control.steer = 0.0
-        else:
-            control.throttle = max(float(np.clip(action[1], 0.0, 0.75)), 0.4)
-            control.brake = 0.0
-        return control
+        return postprocess(action)
 
     def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
         t0 = time.perf_counter() if self._timers is not None else 0.0

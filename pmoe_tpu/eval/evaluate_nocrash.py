@@ -102,6 +102,10 @@ def main(argv=None):
                              "(reference runners/suite format)")
     parser.add_argument("--workers", type=int, default=1,
                         help="parallel episode workers (Ray-fleet analog)")
+    parser.add_argument("--fleet", type=int, default=0,
+                        help="batched lockstep episode slots sharing one "
+                             "jitted sample (single-chip fleet; fake "
+                             "backend only — see eval/fleet.py)")
     parser.add_argument("--record-dir", default=None,
                         help="save per-episode recordings for the metrics "
                              "module (python -m pmoe_tpu.eval.metrics_manager)")
@@ -119,6 +123,23 @@ def main(argv=None):
                                  record_dir=args.record_dir)
     if args.routes is not None:
         evaluator.routes = evaluator.routes[:args.routes]
+
+    if args.fleet and args.fleet > 1:
+        if args.backend != "fake":
+            raise SystemExit("--fleet requires the fake backend (real CARLA "
+                             "keeps the per-episode path)")
+        from .fleet import FleetNoCrashRunner, build_tasks
+
+        tasks = build_tasks(args.town, evaluator.routes, evaluator.weathers,
+                            stats)
+        runner = FleetNoCrashRunner(cfg, n_slots=args.fleet,
+                                    max_ticks=args.max_ticks)
+        try:
+            runner.run(tasks, stats)
+        finally:
+            stats.close()
+            backend.close()
+        return
 
     if args.workers > 1:
         tasks = [EvalTask(args.town, traffic, weather, s, t)

@@ -29,7 +29,8 @@ from .manager import run_episode
 from .statistics import NoCrashStatisticsManager
 
 __all__ = ["NoCrashEvaluator", "WEATHERS", "TRAFFIC_TABLES",
-           "build_input_data", "load_suite", "default_suite_path"]
+           "build_input_data", "load_suite", "default_suite_path",
+           "nocrash_criteria"]
 
 # weather-preset indices (reference nocrash_eval_scenario.py:30-37)
 WEATHERS = {1: "ClearNoon", 3: "WetNoon", 6: "HardRainNoon",
@@ -76,6 +77,21 @@ def build_input_data(frame: SensorFrame) -> dict:
     data["COMPASS"] = (frame.frame, frame.compass)
     data["COLLISION"] = (frame.frame, frame.collision is not None)
     return data
+
+
+def nocrash_criteria(backend, trace) -> CriteriaTree:
+    """The NoCrash episode's criteria tree (nocrash_eval_scenario.py:178-213):
+    terminate-on-collision, route completion, red lights, in-route, blocked
+    180 s, route timeout. Shared by the per-episode evaluator and the fleet
+    runner so both paths score identically."""
+    return CriteriaTree([
+        CollisionTest(terminate_on_failure=True),     # NoCrash rule
+        RouteCompletionTest(trace),
+        RunningRedLightTest(backend),
+        InRouteTest(trace),
+        BlockedTest(),
+        TimeoutTest(trace),
+    ])
 
 
 class NoCrashEvaluator:
@@ -133,14 +149,7 @@ class NoCrashEvaluator:
         agent = agent_factory()
         agent.set_global_plan(trace.gps_plan())
 
-        criteria = CriteriaTree([
-            CollisionTest(terminate_on_failure=True),     # NoCrash rule
-            RouteCompletionTest(trace),
-            RunningRedLightTest(self.backend),
-            InRouteTest(trace),
-            BlockedTest(),
-            TimeoutTest(trace),
-        ])
+        criteria = nocrash_criteria(self.backend, trace)
 
         recorder = None
         if self.record_dir is not None:
