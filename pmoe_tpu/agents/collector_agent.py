@@ -78,14 +78,19 @@ class CollectorAgent(AutonomousAgent):
         steer = float(np.clip(err, -1.0, 1.0))
         spd = ego["spd"]
         throttle = 0.7 if spd < self.target_speed else 0.0
-        pedal = throttle
+        # CIL-style noise injection: the noise perturbs the APPLIED control
+        # (so the expert visits recovery states and demonstrates the
+        # correction), but the RECORDED label stays the clean expert action —
+        # recording the noised steer would teach the clone to wobble
+        steer_applied = steer
         if self.noise_std > 0:
-            steer = float(np.clip(
+            steer_applied = float(np.clip(
                 steer + self._rng.normal(0, self.noise_std), -1, 1))
 
-        # record the tick
+        # record the tick (clean label)
         self._record(input_data, cmd, steer, throttle, 0.0, spd)
-        return VehicleControl(steer=steer, throttle=throttle, brake=0.0)
+        return VehicleControl(steer=steer_applied, throttle=throttle,
+                              brake=0.0)
 
     def _record(self, input_data, cmd, steer, throttle, brake, spd) -> None:
         """Write one (rgb, mask, measurements) tick in the dataset layout."""

@@ -71,6 +71,33 @@ def preprocess_measurements(m: dict, speed_factor: float = 10.0,
     }
 
 
+# decoded-frame cache: path -> cropped/resized uint8 array. A 224x224x3
+# frame is 150 KB, so even a 100k-frame dataset caches in ~15 GB RAM; the
+# reference hides PNG decode behind 8 DataLoader worker processes
+# (conf/stage_0.yaml:24) — on a low-core trainer host the cache turns every
+# epoch after the first into pure memory reads. Keyed by (path, crop,
+# resize) so differently-shaped readers never alias.
+_FRAME_CACHE: dict = {}
+_FRAME_CACHE_MAX = 400_000
+
+
+def _cached_read(address: str, crop, resize, channels: int = 3) -> np.ndarray:
+    key = (address, crop, resize)
+    hit = _FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if native.available():
+        img = native.ingest_batch([address], crop, resize,
+                                  channels=channels)[0]
+    else:
+        img = crop_resize(imread(address), crop, resize)
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    img.setflags(write=False)
+    if len(_FRAME_CACHE) < _FRAME_CACHE_MAX:
+        _FRAME_CACHE[key] = img
+    return img
+
+
 def _episode_dirs(root: str | Path) -> List[Path]:
     root = Path(root).resolve()
     return sorted([x for x in root.iterdir() if x.is_dir()])
@@ -132,7 +159,7 @@ class CarlaSegPred:
                  load_measurements: bool = False, batch_size: int = 32,
                  boost: int = 1, crop: Sequence[int] = (125, 90),
                  resize: Sequence[int] = (224, 224), speed_factor: float = 10,
-                 n_commands: int = 4):
+                 n_commands: int = 4, cache: bool = False):
         if mode.lower() not in ("train", "val"):
             raise ValueError("Unknown parameter for mode, it should be 'train' or 'val'")
         self.mode = mode.lower()
@@ -145,6 +172,7 @@ class CarlaSegPred:
         self.n_commands = n_commands
         self.past_frames = past_frames
         self.future_frames = future_frames
+        self.cache = bool(cache)
 
         seq_len = past_frames + future_frames
         self.img_address: List[List[str]] = []
@@ -172,7 +200,10 @@ class CarlaSegPred:
 
     def __getitem__(self, index: int):
         i = self.indices[index]
-        if native.available():
+        if self.cache:
+            imgs = np.stack([_cached_read(a, self.crop, self.resize)
+                             for a in self.img_address[i]])   # (T, H, W, 3)
+        elif native.available():
             # C++ thread-pool decode of the whole frame window at once
             imgs = native.ingest_batch(self.img_address[i], self.crop,
                                        self.resize)

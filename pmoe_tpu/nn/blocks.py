@@ -146,8 +146,6 @@ class ECA(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        import os
-
         k = eca_kernel_size(self.channels, self.gamma, self.b)
         w = self.param(
             "conv_kernel",
@@ -155,13 +153,11 @@ class ECA(nn.Module):
             (k, 1, 1),
             self.param_dtype,
         )
-        # PMOE_FUSED_ECA=1 routes through the Pallas streaming kernel
-        # (ops/eca_pallas.py) when eligible; its serial-DMA form currently
-        # trails XLA's fusion on v5e, so XLA stays the default.
-        if os.environ.get("PMOE_FUSED_ECA", "0") == "1" and x.ndim == 4:
-            from ..ops.eca_pallas import eca_apply
-
-            return eca_apply(x, w[:, 0, 0], use_pallas=True)
+        # XLA's fused pool + conv1d + sigmoid + scale is the measured best
+        # here: a standalone Pallas ECA kernel was built, hardware-validated
+        # and DELETED (round 3) — its serial-DMA form trailed XLA 79 vs
+        # 41 ms / 50 iters at (8,56,56,512) and two passes over x is the
+        # bandwidth floor both already hit (PERF.md round-3 entry).
         # x: (B, H, W, C) -> squeeze: (B, C)
         y = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
         # channel axis treated as the spatial axis of a width-C, 1-feature conv

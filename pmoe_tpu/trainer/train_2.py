@@ -62,6 +62,7 @@ class Learner(BaseLearner):
                 resize=tuple(dcfg.get("resize", (224, 224))),
                 speed_factor=float(dcfg.get("speed_factor", 10)),
                 n_commands=int(dcfg.get("n_commands", 4)),
+                cache=bool(dcfg.get("cache", False)),
             )
 
         self.train_set = make(ds, "train")

@@ -1,75 +1,17 @@
 """Pallas kernel tests (interpreter mode on CPU; the same kernels are
-hardware-validated on v5e — see ops/eca_pallas.py notes)."""
+hardware-validated on v5e — see ops/pool_pallas.py notes).
+
+The experimental fused-ECA kernel was DELETED in round 3: its serial-DMA form
+measured 79 vs XLA's 41 ms / 50 iters at (8,56,56,512) on v5e, the
+double-buffered DMA variant deadlocked Mosaic, and a STANDALONE ECA cannot
+beat XLA's own pool+conv1d+sigmoid+scale fusion — two passes over x is the
+bandwidth floor both implementations already achieve. See the PERF.md
+round-3 entry for the A/B log and decision.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from pmoe_tpu.ops.eca_pallas import eca_apply, eca_reference, fused_eca
-
-
-def test_fused_eca_matches_reference():
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16, 128))
-    w = jax.random.normal(jax.random.PRNGKey(1), (5,)) * 0.3
-    out = fused_eca(x, w)
-    ref = eca_reference(x, w)
-    # streaming-sum accumulation order differs from XLA's tree reduction
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=1e-3, rtol=1e-3)
-
-
-def test_fused_eca_multi_chunk():
-    # force several chunks (n_rows large relative to the 1 MB chunk target)
-    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 256))
-    w = jnp.array([0.2, -0.1, 0.4, 0.1, -0.3])
-    out = fused_eca(x, w)
-    ref = eca_reference(x, w)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=1e-3, rtol=1e-3)
-
-
-def test_fused_eca_gradients():
-    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 16, 128))
-    w = jax.random.normal(jax.random.PRNGKey(4), (3,)) * 0.3
-    g1 = jax.grad(lambda x, w: jnp.sum(fused_eca(x, w) ** 2),
-                  argnums=(0, 1))(x, w)
-    g2 = jax.grad(lambda x, w: jnp.sum(eca_reference(x, w) ** 2),
-                  argnums=(0, 1))(x, w)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-2, rtol=1e-3)
-
-
-def test_eca_apply_dispatch():
-    # unaligned channels -> XLA path; aligned + use_pallas -> kernel path
-    x96 = jnp.ones((1, 8, 8, 96))
-    w = jnp.array([0.1, 0.2, 0.3])
-    np.testing.assert_allclose(
-        np.asarray(eca_apply(x96, w, use_pallas=True)),
-        np.asarray(eca_reference(x96, w)), rtol=1e-6)
-    x128 = jnp.ones((1, 16, 16, 128))
-    np.testing.assert_allclose(
-        np.asarray(eca_apply(x128, w, use_pallas=True)),
-        np.asarray(eca_reference(x128, w)), atol=1e-3)
-
-
-def test_eca_flag_routes_module_through_kernel(monkeypatch):
-    """PMOE_FUSED_ECA=1 makes nn.ECA dispatch into the fused kernel (interpret
-    mode off-TPU) with identical numerics to the XLA path."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from pmoe_tpu.nn.blocks import ECA
-
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
-    m = ECA(channels=128)
-    v = m.init({"params": jax.random.PRNGKey(1)}, x)
-    y_ref = m.apply(v, x)
-    monkeypatch.setenv("PMOE_FUSED_ECA", "1")
-    y_fused = m.apply(v, x)
-    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
-                               rtol=1e-5, atol=1e-6)
 
 
 # ---------------------------------------------------------------------------

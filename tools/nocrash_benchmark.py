@@ -56,6 +56,28 @@ def model_cfg(arch: str, n_experts: int = 2):
     }
 
 
+def _training_routes(backend, episodes: int):
+    """Diverse Town01 training spawn pairs: every valid ordered pair >= 80 m,
+    EXCLUDING the benchmark suite's 25 pairs (the protocol only demands
+    same-town/train-weather data; holding the eval routes out keeps the
+    benchmark honest), shuffled deterministically, cycled to ``episodes``."""
+    from pmoe_tpu.eval.nocrash import default_suite_path, load_suite
+
+    suite = set(load_suite(default_suite_path(backend.town)) or [])
+    spawn = backend.spawn_points()
+    pairs = []
+    for a in range(len(spawn)):
+        for b in range(len(spawn)):
+            if a == b or (a, b) in suite:
+                continue
+            (ax, ay), (bx, by) = spawn[a], spawn[b]
+            if abs(bx - ax) + abs(by - ay) >= 80.0:
+                pairs.append((a, b))
+    rng = np.random.default_rng(7)
+    rng.shuffle(pairs)
+    return [pairs[i % len(pairs)] for i in range(episodes)]
+
+
 def collect(data_dir: Path, episodes: int, ticks: int) -> int:
     from pmoe_tpu.agents.collector_agent import collect_episode
     from pmoe_tpu.sim.fake_carla import FakeCarlaBackend
@@ -64,15 +86,18 @@ def collect(data_dir: Path, episodes: int, ticks: int) -> int:
         print(f"[bench] reusing collected data in {data_dir}")
         return -1
     backend = FakeCarlaBackend(img_width=800, img_height=600, render_seg=True)
-    n_spawn = len(backend.spawn_points())
+    routes = _training_routes(backend, episodes)
+    # noise curriculum: clean passes anchor the policy, noisy passes add the
+    # recovery states behavior cloning otherwise never sees (the reference's
+    # noisy-expert collection idea, random_collector.py)
+    noise = [0.0, 0.03, 0.08, 0.12]
     total = 0
-    for ep in range(episodes):
+    for ep, (start, target) in enumerate(routes):
         total += collect_episode(
             backend, str(data_dir), f"episode_{ep:03d}",
-            start_idx=(3 * ep) % n_spawn,
-            target_idx=(3 * ep + 4) % n_spawn,
+            start_idx=start, target_idx=target,
             weather=[1, 3, 6, 8][ep % 4],   # train weathers only
-            max_ticks=ticks, noise_std=0.03, seed=ep)
+            max_ticks=ticks, noise_std=noise[ep % len(noise)], seed=ep)
     print(f"[bench] collected {total} frames over {episodes} episodes")
     return total
 
@@ -89,7 +114,9 @@ def train(data_dir: Path, ckpt_dir: Path, arch: str, epochs: int,
     ds = {"root": str(data_dir), "crop": [125, 90], "resize": [224, 224],
           "seed": 0, "aug_type": "medium", "batch_size": batch,
           "boost": 1, "n_commands": 6, "speed_factor": 10,
-          "past_frames": 4, "future_frames": 1}
+          "past_frames": 4, "future_frames": 1,
+          "cache": True}     # decoded-frame RAM cache: one PNG decode per
+                             # frame total, not per epoch (1-core host)
     cfg = {
         "train_params": {"epochs": epochs, "optimizer": "adam",
                          "save_every": max(epochs, 1), "swa_start": 10**9,
@@ -130,12 +157,15 @@ def main():
     ap.add_argument("--weathers", nargs="+", default=["train", "test"])
     ap.add_argument("--routes", type=int, default=None,
                     help="limit suite routes per town")
-    ap.add_argument("--episodes", type=int, default=8)
-    ap.add_argument("--ticks", type=int, default=400)
-    ap.add_argument("--epochs", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--episodes", type=int, default=48)
+    ap.add_argument("--ticks", type=int, default=2500)
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--arch", default="resnet18")
-    ap.add_argument("--max-ticks", type=int, default=1500)
+    ap.add_argument("--max-ticks", type=int, default=4000)
+    ap.add_argument("--fleet", type=int, default=0,
+                    help="run the protocol through the batched fleet runner "
+                         "with N lockstep slots (eval/fleet.py)")
     ap.add_argument("--out", default=None, help="write the tables here")
     args = ap.parse_args()
 
@@ -160,6 +190,8 @@ def main():
                     "--max-ticks", str(args.max_ticks)]
             if args.routes is not None:
                 argv += ["--routes", str(args.routes)]
+            if args.fleet:
+                argv += ["--fleet", str(args.fleet)]
             evaluate_nocrash.main(argv)
             print(f"[bench] {town}/{weather} done "
                   f"in {time.perf_counter() - t0:.0f}s")
