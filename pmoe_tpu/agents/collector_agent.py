@@ -42,6 +42,10 @@ class CollectorAgent(AutonomousAgent):
         self.target_speed = float(config.get("target_speed", 6.0))
         self.noise_std = float(config.get("noise_std", 0.0))
         self.save_every = int(config.get("save_every", 1))
+        #: pure-pursuit lookahead (m) on the DENSE plan; ~8 m keeps the
+        #: expert in-lane through 90-degree grid corners (25 m on the sparse
+        #: agent plan cut corners by up to ~17 m)
+        self.pursuit_lookahead = float(config.get("pursuit_lookahead", 8.0))
         self._rng = np.random.default_rng(int(config.get("seed", 0)))
         self.waypointer = None
         self.idx = 0
@@ -50,19 +54,30 @@ class CollectorAgent(AutonomousAgent):
             (ep / sub).mkdir(parents=True, exist_ok=True)
         self._ep_dir = ep
 
+    def set_global_plan(self, global_plan_gps, global_plan_world_coord=None,
+                        downsample: int = 50) -> None:
+        """Keep the DENSE plan for the pursuit controller; the base class
+        stores the reference-downsampled plan the label waypointer (and the
+        eval-time agent) sees."""
+        super().set_global_plan(global_plan_gps, global_plan_world_coord,
+                                downsample)
+        self._dense_plan = list(global_plan_gps)
+
     def run_step(self, input_data: dict, timestamp: float) -> VehicleControl:
         _, gps = input_data["GPS"]
         _, ego = input_data["EGO"]
         if self.waypointer is None:
-            self.waypointer = Waypointer(self._global_plan, gps,
-                                         threshold_before=25.0,
-                                         threshold_after=25.0)
-            # a SECOND waypointer with the ImageAgent's default thresholds
-            # produces the recorded command LABEL: the 25 m pursuit
-            # waypointer runs ~20 m ahead of the ego, so its command would
-            # fire ~20 m earlier than the command the trained agent will see
-            # at eval time — a systematic train/test distribution shift in
-            # exactly the input that cues turns
+            # pursuit on the dense (1 m) route: the checkpoint hovers
+            # ~lookahead ahead of the ego, giving a proper pure-pursuit
+            # target that keeps the expert in-lane
+            self.waypointer = Waypointer(
+                getattr(self, "_dense_plan", self._global_plan), gps,
+                threshold_before=self.pursuit_lookahead,
+                threshold_after=self.pursuit_lookahead)
+            # a SECOND waypointer on the DOWNSAMPLED plan with the
+            # ImageAgent's default thresholds produces the recorded command
+            # LABEL — the exact command stream the trained agent will see at
+            # eval time (same plan, same thresholds)
             self.label_waypointer = Waypointer(self._global_plan, gps)
         _, _, cmd = self.label_waypointer.tick(gps)
         self.waypointer.tick(gps)

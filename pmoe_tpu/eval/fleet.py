@@ -169,7 +169,12 @@ class FleetNoCrashRunner:
                              (125, 90), (224, 224))
         gps = frame.gnss
         if slot.waypointer is None:
-            slot.waypointer = Waypointer(slot.trace.gps_plan(), gps)
+            # the same reference-downsampled plan ImageAgent.set_global_plan
+            # hands its waypointer (parity requirement)
+            from ..agents.autonomous_agent import downsample_plan
+
+            slot.waypointer = Waypointer(
+                downsample_plan(slot.trace.gps_plan()), gps)
         _, _, cmd = slot.waypointer.tick(gps)
         cmd_value = int(cmd) - 1
         cmd_value = 3 if cmd_value < 0 else cmd_value
