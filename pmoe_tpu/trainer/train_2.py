@@ -67,6 +67,22 @@ class Learner(BaseLearner):
 
         self.train_set = make(ds, "train")
         self.val_set = make(vds, "val")
+        self._pool = None
+        if bool(ds.get("device_pool", False)):
+            # dataset-in-HBM mode: all unique frames upload once, batches
+            # carry int32 frame ids, windows gather on device in the jitted
+            # step (see data/device_pool.py for the why)
+            from ..data.device_pool import DeviceFramePool, IndexedSegPred
+
+            paths = [p for w in self.train_set.img_address for p in w]
+            paths += [p for w in self.val_set.img_address for p in w]
+            pool = DeviceFramePool(paths, crop=tuple(ds.get("crop",
+                                                            (125, 90))),
+                                   resize=tuple(ds.get("resize",
+                                                       (224, 224))))
+            self._pool = pool.array
+            self.train_set = IndexedSegPred(self.train_set, pool)
+            self.val_set = IndexedSegPred(self.val_set, pool)
         self.train_loader = self.make_loader(self.train_set)
         self.val_loader = self.make_loader(self.val_set, shuffle=False)
         self.aug_type = ds.get("aug_type", "super_hard")
@@ -204,6 +220,8 @@ class Learner(BaseLearner):
 
     def _split_batch(self, batch):
         imgs, meas = batch
+        if imgs.ndim == 2:                 # (B, T) frame ids -> HBM gather
+            imgs = jnp.take(self._pool, imgs, axis=0)
         speed = meas["speed"].reshape(-1, 1).astype(jnp.float32)
         control = meas["control"].astype(jnp.float32)
         command = meas["command"].astype(jnp.float32)

@@ -189,3 +189,35 @@ def test_stage0_bf16_mixed_precision(synthetic_root_small, tmp_path):
          "batch_stats": learner.state.batch_stats}, x, False)
     assert y.dtype == jnp.bfloat16
     assert np.all(np.isfinite(np.asarray(y, np.float32)))
+
+
+@pytest.mark.heavy
+def test_stage2_device_pool_matches_streaming(synthetic_root, tmp_path,
+                                              tiny_moe_cfg):
+    """dataset.device_pool: frames live in HBM, batches carry int32 ids, and
+    the jitted step gathers windows on device — must reproduce the streaming
+    pixel path exactly (same decode, same batch order, same rng)."""
+    from pmoe_tpu.trainer.train_2 import Learner
+
+    def run(device_pool):
+        cfg = _base_cfg(synthetic_root, tmp_path / f"dp{device_pool}", "MoE")
+        cfg["train_params"]["swa_start"] = 99
+        cfg["dataset"] = _dataset_cfg(synthetic_root, past_frames=4,
+                                      future_frames=2,
+                                      load_measurements=True,
+                                      aug_type="super_hard",
+                                      device_pool=device_pool)
+        cfg["val_dataset"] = dict(cfg["dataset"])
+        cfg["model"] = tiny_moe_cfg
+        learner = Learner(Config(cfg))
+        learner.train()
+        return learner.validate()["val_loss"], learner.state.params
+
+    loss_stream, p_stream = run(False)
+    loss_pool, p_pool = run(True)
+    np.testing.assert_allclose(loss_pool, loss_stream, rtol=1e-5)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_stream),
+                    jax.tree_util.tree_leaves(p_pool)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
