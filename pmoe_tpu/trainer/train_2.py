@@ -41,6 +41,24 @@ def _load_model_tree(path: str):
     return ck.get("model", ck), ck.get("batch_stats", None)
 
 
+class _PoolBatches:
+    """Loader wrapper attaching the device frame pool to every batch, so the
+    pool reaches the jitted step as an ARGUMENT (zero per-call transfer for a
+    committed jax.Array; a closure capture would bake it into the module as
+    a multi-GB constant)."""
+
+    def __init__(self, loader, pool):
+        self.loader = loader
+        self.pool = pool
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for batch in self.loader:
+            yield {"data": batch, "pool": self.pool}
+
+
 class Learner(BaseLearner):
     stage = "stage2"
 
@@ -71,7 +89,14 @@ class Learner(BaseLearner):
         if bool(ds.get("device_pool", False)):
             # dataset-in-HBM mode: all unique frames upload once, batches
             # carry int32 frame ids, windows gather on device in the jitted
-            # step (see data/device_pool.py for the why)
+            # step (see data/device_pool.py for the why). The pool travels
+            # as an ARGUMENT of every step (a jit-closure capture would
+            # embed 6+ GB of constants into the lowered module).
+            if self.mesh is not None:
+                raise ValueError(
+                    "dataset.device_pool is single-device for now (a mesh "
+                    "run would shard the pool's leading dim over 'data'); "
+                    "multi-chip hosts have full PCIe and stream fine")
             from ..data.device_pool import DeviceFramePool, IndexedSegPred
 
             paths = [p for w in self.train_set.img_address for p in w]
@@ -85,6 +110,9 @@ class Learner(BaseLearner):
             self.val_set = IndexedSegPred(self.val_set, pool)
         self.train_loader = self.make_loader(self.train_set)
         self.val_loader = self.make_loader(self.val_set, shuffle=False)
+        if self._pool is not None:
+            self.train_loader = _PoolBatches(self.train_loader, self._pool)
+            self.val_loader = _PoolBatches(self.val_loader, self._pool)
         self.aug_type = ds.get("aug_type", "super_hard")
         self.boost = int(ds.get("boost", 1))
         self.n_commands = int(ds.get("n_commands", 4))
@@ -219,9 +247,12 @@ class Learner(BaseLearner):
         return params, batch_stats, exclude, freeze
 
     def _split_batch(self, batch):
+        pool = None
+        if isinstance(batch, dict) and "pool" in batch:
+            pool, batch = batch["pool"], batch["data"]
         imgs, meas = batch
         if imgs.ndim == 2:                 # (B, T) frame ids -> HBM gather
-            imgs = jnp.take(self._pool, imgs, axis=0)
+            imgs = jnp.take(pool, imgs, axis=0)
         speed = meas["speed"].reshape(-1, 1).astype(jnp.float32)
         control = meas["control"].astype(jnp.float32)
         command = meas["command"].astype(jnp.float32)
