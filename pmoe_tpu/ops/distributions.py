@@ -30,11 +30,19 @@ class MixtureOfGaussians(NamedTuple):
     std: jnp.ndarray
 
     def log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (..., D) -> (...,). logsumexp_k [log pi_k + sum_d log N(x_d)]."""
+        """x: (..., D) -> (...,). logsumexp_k [log pi_k + sum_d log N(x_d)].
+
+        std is floored at 1e-4 here as a pure numerical guard: the expert
+        head's ``std = elu(.) + 1`` (reference moe.py:97) can collapse
+        arbitrarily close to 0 under clean low-variance labels, where
+        (x - mean)^2 / std^2 overflows fp32 to inf and one poisoned batch
+        NaNs the whole optimizer state (observed in stage-2 BC at step 22).
+        A healthy std (goldens sit near 1) is unaffected."""
+        std = jnp.maximum(self.std, 1e-4)
         x = x[..., None, :]                                   # (..., 1, D)
-        z = (x - self.mean) / self.std
+        z = (x - self.mean) / std
         comp_lp = -0.5 * jnp.sum(z * z + _LOG_2PI, axis=-1) - jnp.sum(
-            jnp.log(self.std), axis=-1
+            jnp.log(std), axis=-1
         )                                                      # (..., K)
         log_pi = jnp.log(jnp.clip(self.probs, 1e-38))
         return jax.scipy.special.logsumexp(log_pi + comp_lp, axis=-1)

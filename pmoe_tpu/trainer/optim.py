@@ -70,6 +70,19 @@ def make_lr_schedule(base_lr: float, epochs: int, steps_per_epoch: int,
     return schedule
 
 
+def _zap_nonfinite() -> optax.GradientTransformation:
+    """Replace non-finite gradient entries (NaN AND inf) with zeros."""
+
+    def update_fn(updates, state, params=None):
+        updates = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
 def make_optimizer(cfg: Mapping, lr: float | Callable,
                    grad_clipping: float | None = None,
                    params: Any = None,
@@ -107,6 +120,13 @@ def make_optimizer(cfg: Mapping, lr: float | Callable,
         raise ValueError(f"Unknown optimizer {opt_name!r}")
 
     parts = []
+    # a single non-finite gradient (fp32 overflow in a loss tail) must not
+    # poison the optimizer state: clip_by_global_norm(inf) scales the whole
+    # update to NaN and every parameter is dead from then on. Zeroing
+    # non-finite entries BEFORE the clip turns the poisoned batch into a
+    # (partial) no-op step instead of a divergence. (optax.zero_nans only
+    # handles NaN; inf must be zapped too or the clip still NaNs.)
+    parts.append(_zap_nonfinite())
     if grad_clipping:
         parts.append(optax.clip_by_global_norm(float(grad_clipping)))
     if freeze_all_except:

@@ -126,7 +126,7 @@ def train(data_dir: Path, ckpt_dir: Path, arch: str, epochs: int,
         "logger": {"disabled": True},
         "dataloader": {"batch_size": batch, "shuffle": True},
         "directory": {"model_name": "moe", "save": str(ckpt_dir), "load": ""},
-        "adam": {"lr": 5e-4, "betas": [0.9, 0.999], "eps": 1e-8,
+        "adam": {"lr": 3e-4, "betas": [0.9, 0.999], "eps": 1e-8,
                  "weight_decay": 0, "amsgrad": False},
         "SWA": {"swa_lr": 5e-4},
         "dataset": ds, "val_dataset": dict(ds),
