@@ -558,7 +558,8 @@ def main():
     loop_fps = bench_closed_loop_fps()
     s3_steps, s3_flops = bench_stage3()
     s3_mfu = (s3_flops * s3_steps / peak) if s3_flops > 0 else -1.0
-    s3b_steps, _ = bench_stage3(batch=128)   # conf/stage_3.yaml:65 parity
+    s3b_steps, s3b_flops = bench_stage3(batch=128)  # conf/stage_3.yaml:65
+    s3b_mfu = (s3b_flops * s3b_steps / peak) if s3b_flops > 0 else -1.0
     s01 = bench_stage01()
 
     print(json.dumps({
@@ -574,6 +575,7 @@ def main():
             "stage2_b128_steps_per_sec": round(s2b_steps, 3),
             "stage2_b128_mfu": round(s2b_mfu, 4),
             "stage3_b128_steps_per_sec": round(s3b_steps, 3),
+            "stage3_b128_mfu": round(s3b_mfu, 4),
             **s01,
             "p50_inference_latency_ms": round(p50_ms, 3),
             "device_roundtrip_ms": round(rtt_ms, 3),
