@@ -159,7 +159,8 @@ class CarlaSegPred:
                  load_measurements: bool = False, batch_size: int = 32,
                  boost: int = 1, crop: Sequence[int] = (125, 90),
                  resize: Sequence[int] = (224, 224), speed_factor: float = 10,
-                 n_commands: int = 4, cache: bool = False):
+                 n_commands: int = 4, cache: bool = False,
+                 boost_turns: int = 1):
         if mode.lower() not in ("train", "val"):
             raise ValueError("Unknown parameter for mode, it should be 'train' or 'val'")
         self.mode = mode.lower()
@@ -193,7 +194,18 @@ class CarlaSegPred:
                         mask_files[i + past_frames: i + seq_len])
 
         rng = np.random.default_rng(seed)
-        self.indices = rng.permutation(len(self.img_address))
+        base = np.arange(len(self.img_address))
+        if boost_turns > 1 and load_measurements:
+            # command-imbalance correction: turn-commanded windows are a few
+            # percent of a driving episode (a 90-degree turn is ~1.5 s of a
+            # ~45 s route) but carry the hardest control; replicate them so
+            # the imitation loss sees turns boost_turns x per epoch
+            turn_idx = [i for i, mf in enumerate(self.measurements)
+                        if int(json.load(open(mf)).get("command", 4)) != 4]
+            if turn_idx:
+                base = np.concatenate(
+                    [base] + [np.asarray(turn_idx)] * (boost_turns - 1))
+        self.indices = rng.permutation(base)
 
     def __len__(self) -> int:
         return len(self.indices)

@@ -173,7 +173,11 @@ class FakeCarlaBackend(DrivingBackend):
         pts: List[Tuple[float, float]] = []
         opts: List[RoadOption] = []
 
-        def walk(from_pt, to_pt, cmd_at_end):
+        def walk(from_pt, to_pt, cmd_at_end, cmd_at_start=None):
+            """CARLA's GlobalRoutePlanner labels the whole junction arc with
+            the turn command, so the turn option covers BOTH the last 10 m of
+            the approach leg (cmd_at_end) and the first 10 m of the exit leg
+            (cmd_at_start) — the command window spans the actual steering."""
             fx, fy = from_pt
             gx, gy = to_pt
             dist = math.hypot(gx - fx, gy - fy)
@@ -181,9 +185,12 @@ class FakeCarlaBackend(DrivingBackend):
             for s in range(steps):
                 u = (s + 1) / steps
                 pts.append((fx + u * (gx - fx), fy + u * (gy - fy)))
-                near_end = s >= steps - 10
-                opts.append(cmd_at_end if near_end and cmd_at_end
-                            else RoadOption.LANEFOLLOW)
+                if cmd_at_end and s >= steps - 10:
+                    opts.append(cmd_at_end)
+                elif cmd_at_start and s < 10:
+                    opts.append(cmd_at_start)
+                else:
+                    opts.append(RoadOption.LANEFOLLOW)
 
         corner = (tx, sy)
         turn: Optional[RoadOption] = None
@@ -198,7 +205,7 @@ class FakeCarlaBackend(DrivingBackend):
         if abs(tx - sx) > 1.0:
             walk((sx, sy), corner, turn)
         if abs(ty - sy) > 1.0:
-            walk(corner, (tx, ty), None)
+            walk(corner, (tx, ty), None, cmd_at_start=turn)
         if len(pts) < 2:
             pts.append((sx + 1.0, sy))
             opts.append(RoadOption.LANEFOLLOW)

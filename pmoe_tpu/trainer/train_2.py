@@ -81,6 +81,8 @@ class Learner(BaseLearner):
                 speed_factor=float(dcfg.get("speed_factor", 10)),
                 n_commands=int(dcfg.get("n_commands", 4)),
                 cache=bool(dcfg.get("cache", False)),
+                boost_turns=int(dcfg.get("boost_turns", 1)) if mode == "train"
+                else 1,
             )
 
         self.train_set = make(ds, "train")

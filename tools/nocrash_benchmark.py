@@ -115,6 +115,8 @@ def train(data_dir: Path, ckpt_dir: Path, arch: str, epochs: int,
           "seed": 0, "aug_type": "medium", "batch_size": batch,
           "boost": 1, "n_commands": 6, "speed_factor": 10,
           "past_frames": 4, "future_frames": 1,
+          "boost_turns": 4,      # turn windows are ~3% of a route: replicate
+                                 # them so the loss learns the hard control
           "device_pool": True}   # dataset-in-HBM: frames upload once,
                                  # batches carry int32 ids (the streaming
                                  # path re-uploads ~38 MB/step — measured
