@@ -182,28 +182,86 @@ def main():
                  args.batch)
     conf = write_agent_conf(work / "benchmark_agent.yaml", ckpt, args.arch)
 
-    from pmoe_tpu.eval import evaluate_nocrash
+    if args.fleet:
+        run_fleet_protocol(args, conf, results_dir)
+    else:
+        from pmoe_tpu.eval import evaluate_nocrash
 
-    for town in args.towns:
-        for weather in args.weathers:
-            print(f"[bench] === {town} / {weather} weathers ===")
-            t0 = time.perf_counter()
-            argv = ["--town", town, "--weather", weather,
-                    "--config", str(conf), "--backend", "fake",
-                    "--log-dir", str(results_dir), "--resume",
-                    "--max-ticks", str(args.max_ticks)]
-            if args.routes is not None:
-                argv += ["--routes", str(args.routes)]
-            if args.fleet:
-                argv += ["--fleet", str(args.fleet)]
-            evaluate_nocrash.main(argv)
-            print(f"[bench] {town}/{weather} done "
-                  f"in {time.perf_counter() - t0:.0f}s")
-            # incremental render: an interrupted run still leaves tables
-            # for everything finished so far (episodes resume via the CSVs)
-            render(results_dir, args.arch, args.out, routes=args.routes)
+        for town in args.towns:
+            for weather in args.weathers:
+                print(f"[bench] === {town} / {weather} weathers ===")
+                t0 = time.perf_counter()
+                argv = ["--town", town, "--weather", weather,
+                        "--config", str(conf), "--backend", "fake",
+                        "--log-dir", str(results_dir), "--resume",
+                        "--max-ticks", str(args.max_ticks)]
+                if args.routes is not None:
+                    argv += ["--routes", str(args.routes)]
+                evaluate_nocrash.main(argv)
+                print(f"[bench] {town}/{weather} done "
+                      f"in {time.perf_counter() - t0:.0f}s")
+                # incremental render: an interrupted run still leaves
+                # tables for everything finished so far (CSV resume)
+                render(results_dir, args.arch, args.out, routes=args.routes)
 
     render(results_dir, args.arch, args.out, routes=args.routes, echo=True)
+
+
+class _StatsRouter:
+    """Route fleet episode rows to the correct (town, weather-group) CSV —
+    one combined lockstep run covers the whole protocol, one compile."""
+
+    def __init__(self, managers):
+        self.managers = managers          # (town, group) -> stats manager
+
+    @staticmethod
+    def group(weather: int) -> str:
+        return "train" if weather in (1, 3, 6, 8) else "test"
+
+    def log(self, town, traffic, weather, s, t, rc, lights, dur) -> None:
+        self.managers[(town, self.group(weather))].log(
+            town, traffic, weather, s, t, rc, lights, dur)
+
+    def close(self) -> None:
+        for m in self.managers.values():
+            m.close()
+
+
+def run_fleet_protocol(args, conf, results_dir) -> None:
+    """The full traffic x route x weather x town product through ONE fleet
+    run (eval/fleet.py): every episode slot shares the single jitted batched
+    sample; empty-traffic cells order first (build_tasks traffic ordering)."""
+    from pmoe_tpu.eval.fleet import FleetNoCrashRunner, build_tasks
+    from pmoe_tpu.eval.nocrash import (TRAIN_WEATHERS, TEST_WEATHERS,
+                                       default_suite_path, load_suite)
+    from pmoe_tpu.eval.statistics import NoCrashStatisticsManager
+    from pmoe_tpu.utils import get_conf
+
+    managers = {}
+    tasks = []
+    for town in args.towns:
+        routes = load_suite(default_suite_path(town))
+        if args.routes is not None:
+            routes = routes[:args.routes]
+        for group in args.weathers:
+            weathers = TRAIN_WEATHERS if group == "train" else TEST_WEATHERS
+            stats = NoCrashStatisticsManager(str(results_dir), town, group,
+                                             resume=True)
+            managers[(town, group)] = stats
+            tasks.extend(build_tasks(town, routes, weathers, stats))
+    # traffic-major order globally (empty cells first across all towns)
+    tasks.sort(key=lambda t: t.traffic_idx)
+    router = _StatsRouter(managers)
+    print(f"[bench] fleet protocol: {len(tasks)} episodes pending, "
+          f"{args.fleet} slots")
+    runner = FleetNoCrashRunner(get_conf(str(conf)), n_slots=args.fleet,
+                                max_ticks=args.max_ticks)
+    t0 = time.perf_counter()
+    try:
+        runner.run(tasks, router)
+    finally:
+        router.close()
+    print(f"[bench] fleet protocol done in {time.perf_counter() - t0:.0f}s")
 
 
 def render(results_dir: Path, arch: str, out: str | None,
