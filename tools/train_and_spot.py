@@ -60,6 +60,10 @@ def spot_eval(conf_path: Path, town: str, n_routes: int, slots: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="logs/nocrash_r3")
+    ap.add_argument("--data", default="data",
+                    help="dataset subdir of workdir (e.g. data_union for "
+                         "BC + DAgger rounds)")
+    ap.add_argument("--ckpt", default="ckpt")
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--arch", default="resnet18")
@@ -70,10 +74,10 @@ def main():
 
     work = Path(args.workdir)
     if not args.skip_train:
-        ckpt = nb.train(work / "data", work / "ckpt", args.arch, args.epochs,
-                        args.batch)
+        ckpt = nb.train(work / args.data, work / args.ckpt, args.arch,
+                        args.epochs, args.batch)
     else:
-        ckpt = work / "ckpt" / "moe-best.ckpt"
+        ckpt = work / args.ckpt / "moe-best.ckpt"
     conf = nb.write_agent_conf(work / "benchmark_agent.yaml", ckpt, args.arch)
 
     spot_eval(conf, "Town01", args.spot_routes, args.slots)
