@@ -13,6 +13,17 @@ unique frame ONCE, gather windows by index on device.
 
 The pool is uploaded in slabs through a donated dynamic_update_slice so peak
 HBM is pool + one slab (not 2x pool).
+
+Sizing constraint (measured on v5e): the training step's gather demands a
+tiled operand layout ({2,1,3,0:T(8,128)(4,1)}), so XLA materializes a
+PADDED COPY of the pool inside the program — 1.14x the pool on top of the
+resident buffer. Budget the pool at <= ~6 GB on a 16 GB chip (~40k frames
+at 224x224); beyond that the stage-2 step compile OOMs (observed: 7.91 GB
+pool -> 17.29 GB total, batch-size-independent). Eliminating the copy needs
+either building the pool directly in the gather's preferred padded layout
+(jax.experimental.layout; trades resident memory for the temp) or a Pallas
+gather that accepts the row-major pool — future work, recorded here so the
+failure mode is not rediscovered.
 """
 
 from __future__ import annotations
