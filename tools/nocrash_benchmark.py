@@ -280,15 +280,17 @@ def render(results_dir: Path, arch: str, out: str | None,
         Path(out).write_text(
             "# NoCrash benchmark results\n\n"
             "Produced by `python tools/nocrash_benchmark.py` — the NoCrash "
-            "protocol (traffic x routes x weather group per town, over "
-            f"{scope}) on the fake backend with a stage-2 behavior-cloned "
-            f"checkpoint ({arch}, Town01 train-weather data only; "
-            "Town02 and the test weathers are held out). Success Rate "
-            "counts only episodes at 100% route completion with no "
-            "terminal collision (the NoCrash rule); Route Completion is "
-            "the honest summary for a lightly-trained checkpoint — the "
-            "e2e evidence in PERF.md shows training lifts it (30.5% "
-            "untrained -> 61.5% trained on a held-out route).\n\n"
+            "protocol (traffic {empty,regular,dense} x 25 suite routes x "
+            f"weather group per town, over {scope}) on the fake backend "
+            "through the parity-tested fleet runner (eval/fleet.py), with a "
+            f"stage-2 behavior-cloned checkpoint ({arch}; "
+            "checkpoints/moe-nocrash-r3.ckpt.gz — Town01 train-weather "
+            "data only, non-suite routes; Town02 and the test weathers are "
+            "held out). Success Rate = mean(route_completion == 100) with "
+            "terminal collisions failing the episode (reference "
+            "view_benchmark_results.py:39-57 scoring). Cells not yet "
+            "covered by the committed CSVs render N/A; the run is "
+            "CSV-resumable (`--resume`).\n\n"
             + "\n\n".join(sections) + "\n")
         print(f"[bench] wrote {out}")
 
