@@ -24,8 +24,9 @@ from ..sim.interface import RoadOption, VehicleControl
 from .autonomous_agent import AutonomousAgent, Track
 from .waypointer import Waypointer
 
-__all__ = ["CollectorAgent", "RandomCollectorAgent", "QCollectorAgent",
-           "CollectorCollision", "collect_episode", "get_entry_point"]
+__all__ = ["CollectorAgent", "TrafficAwareExpert", "RandomCollectorAgent",
+           "QCollectorAgent", "CollectorCollision", "collect_episode",
+           "get_entry_point"]
 
 
 def get_entry_point() -> str:
@@ -92,7 +93,9 @@ class CollectorAgent(AutonomousAgent):
         err = (target - heading + math.pi) % (2 * math.pi) - math.pi
         steer = float(np.clip(err, -1.0, 1.0))
         spd = ego["spd"]
-        throttle = 0.7 if spd < self.target_speed else 0.0
+        brake = self._brake_decision(x, y, heading, spd)
+        throttle = 0.0 if brake > 0 else (0.7 if spd < self.target_speed
+                                          else 0.0)
         # CIL-style noise injection: the noise perturbs the APPLIED control
         # (so the expert visits recovery states and demonstrates the
         # correction), but the RECORDED label stays the clean expert action —
@@ -103,9 +106,16 @@ class CollectorAgent(AutonomousAgent):
                 steer + self._rng.normal(0, self.noise_std), -1, 1))
 
         # record the tick (clean label)
-        self._record(input_data, cmd, steer, throttle, 0.0, spd)
+        self._record(input_data, cmd, steer, throttle, brake, spd)
         return VehicleControl(steer=steer_applied, throttle=throttle,
-                              brake=0.0)
+                              brake=brake)
+
+    def _brake_decision(self, x: float, y: float, heading: float,
+                        spd: float) -> float:
+        """Brake command for this tick; the base follower never brakes (the
+        reference's scripted collectors are traffic-blind too), the
+        privileged :class:`TrafficAwareExpert` overrides this."""
+        return 0.0
 
     def _record(self, input_data, cmd, steer, throttle, brake, spd) -> None:
         """Write one (rgb, mask, measurements) tick in the dataset layout."""
@@ -126,6 +136,90 @@ class CollectorAgent(AutonomousAgent):
             (self._ep_dir / "measurements" / f"{name}.json").write_text(
                 json.dumps(meas))
         self.idx += 1
+
+
+class TrafficAwareExpert(CollectorAgent):
+    """Privileged expert follower: pursuit steering + hazard braking.
+
+    The round-3 verdict's root-cause finding: the plain scripted follower
+    never brakes, so behavior-cloning data carries no stop-at-red or
+    follow-vehicle braking signal, while the reference's datasets have real
+    brake labels (pedal folding, reference model/data_loader.py:216-243).
+    This expert reads privileged world state through the backend seam
+    (``DrivingBackend.actor_states`` / ``traffic_light_states`` — the same
+    privileged access the reference's collectors get via CarlaDataProvider)
+    and brakes for
+
+    * **lead vehicles / walkers** — constant time-headway rule: predicted
+      actor positions over a short horizon are tested against the ego's
+      forward corridor; anything inside ``d_min + headway*speed`` triggers a
+      full brake;
+    * **red lights** — stop before the enforcement line: the fake backend
+      (and the CARLA bridge) flag a violation when the ego comes within 8 m
+      of a red light (fake_carla.py _check_red_light), so the expert brakes
+      to a halt just outside that radius and resumes on green.
+
+    The recorded label keeps the full (steer, throttle, brake) triple; the
+    dataset folds it into the reference's single pedal
+    (``-brake if brake > 0.05 else throttle``, data/dataset.py).
+    """
+
+    def setup(self, config) -> None:
+        super().setup(config)
+        config = config or {}
+        #: privileged world handle (set by collect_episode / the DAgger tool)
+        self.backend = config.get("backend")
+        self.headway_s = float(config.get("headway_s", 1.4))
+        self.d_min = float(config.get("d_min", 6.0))
+        #: ego corridor half-width for hazard tests (ego half-width + NPC
+        #: half-width + margin)
+        self.corridor = float(config.get("corridor", 2.6))
+        #: actor-prediction horizon (s) sampled every 0.5 s
+        self.horizon_s = float(config.get("horizon_s", 1.5))
+        #: red-light enforcement radius (m) — mirror of the violation check
+        self.light_radius = float(config.get("light_radius", 8.0))
+        #: assumed service deceleration for the stop-distance envelope; the
+        #: sim brakes at up to 8 m/s^2 (fake_carla _MAX_BRAKE), planning with
+        #: less leaves margin
+        self.decel = float(config.get("decel", 4.0))
+
+    def _brake_decision(self, x: float, y: float, heading: float,
+                        spd: float) -> float:
+        if self.backend is None:
+            return 0.0
+        cos_h, sin_h = math.cos(heading), math.sin(heading)
+
+        # --- actors in the forward corridor (time-headway rule) -------------
+        d_brake = self.d_min + self.headway_s * spd
+        n_steps = max(int(round(self.horizon_s / 0.5)), 1)
+        for actor in self.backend.actor_states():
+            margin = self.corridor + (0.6 if actor.kind == "walker" else 0.0)
+            for k in range(n_steps + 1):
+                dt = 0.5 * k
+                dx = actor.x + actor.vx * dt - x
+                dy = actor.y + actor.vy * dt - y
+                fwd = dx * cos_h + dy * sin_h
+                lat = -dx * sin_h + dy * cos_h
+                if -1.0 < fwd < d_brake and abs(lat) < margin:
+                    return 1.0
+
+        # --- red lights: stop before the enforcement radius ------------------
+        # stop envelope: worst-case travel before standstill at the planned
+        # service deceleration, plus one tick of reaction
+        stop_d = spd * spd / (2.0 * self.decel) + spd * 0.1 + 1.0
+        for light in self.backend.traffic_light_states():
+            if not light.red:
+                continue
+            dx, dy = light.x - x, light.y - y
+            fwd = dx * cos_h + dy * sin_h
+            d = math.hypot(dx, dy)
+            # the violation fires on |ego-light| crossing 8 m regardless of
+            # approach direction, so brake whenever the RED light is ahead of
+            # the rear axle and the stop envelope would cross the radius
+            if fwd > 0.0 and self.light_radius < d <= (self.light_radius
+                                                       + 1.0 + stop_d):
+                return 1.0
+        return 0.0
 
 
 class RandomCollectorAgent(CollectorAgent):
@@ -322,18 +416,22 @@ class CollectorCollision(RuntimeError):
 def collect_episode(backend, out_dir: str, episode: str, start_idx: int = 0,
                     target_idx: int = 5, weather: int = 1,
                     max_ticks: int = 500, noise_std: float = 0.0,
-                    seed: int = 0, agent_cls=None) -> int:
+                    seed: int = 0, agent_cls=None, n_vehicles: int = 0,
+                    n_pedestrians: int = 0) -> int:
     """Run one collection episode on a backend with seg rendering; returns the
     number of recorded frames. ``agent_cls`` selects the policy
-    (CollectorAgent expert follower by default, RandomCollectorAgent for the
-    reference's phase-0 random data)."""
+    (CollectorAgent expert follower by default, TrafficAwareExpert for
+    traffic-laden collection, RandomCollectorAgent for the reference's
+    phase-0 random data). ``n_vehicles``/``n_pedestrians`` spawn background
+    traffic (the NoCrash regular/dense tables)."""
     from ..eval.nocrash import build_input_data
 
     route = backend.trace_route(start_idx, target_idx)
-    frame = backend.reset(route, weather=weather, seed=seed)
+    frame = backend.reset(route, weather=weather, seed=seed,
+                          n_vehicles=n_vehicles, n_pedestrians=n_pedestrians)
     agent = (agent_cls or CollectorAgent)(
         {"out_dir": out_dir, "episode": episode,
-         "noise_std": noise_std, "seed": seed})
+         "noise_std": noise_std, "seed": seed, "backend": backend})
     agent.set_global_plan(route.gps_plan())
     needs_map = getattr(agent, "track", None) == Track.MAP
     if needs_map:

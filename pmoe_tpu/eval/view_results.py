@@ -49,21 +49,31 @@ def _fmt_table(rows) -> str:
 
 
 def view_results(log_dir: str, metric: str = "Success Rate",
-                 echo: bool = True) -> str:
+                 echo: bool = True, routes_per_town: int = 25) -> str:
     """Render the per-town tables; ``echo=False`` suppresses the print so
     programmatic callers (tools/nocrash_benchmark.py incremental renders)
-    don't spam stdout once per render."""
+    don't spam stdout once per render.
+
+    Completeness gate (ADVICE r3): a cell averages whatever episode rows
+    exist, and the ordered task queue biases partial samples toward earlier
+    routes — so every cell shows its episode count against the expected
+    ``routes_per_town x weathers-in-group`` product and a partially-run cell
+    is marked ``(partial)`` rather than silently rendering as finished."""
     finished = _load_runs(log_dir)
     output = []
     for town, weather_set in product(TOWNS, ("train", "test")):
+        expected = routes_per_town * (4 if weather_set == "train" else 2)
         rows = [["Traffic", *TRAFFICS], [metric] + ["N/A"] * 3,
+                ["Episodes"] + ["0/%d" % expected] * 3,
                 ["Duration"] + ["N/A"] * 3]
         any_data = False
         for ti, traffic in enumerate(TRAFFICS):
             runs = finished.get((town, ti, weather_set), [])
+            rows[2][ti + 1] = f"{len(runs)}/{expected}"
             if not runs:
                 continue
             any_data = True
+            partial = " (partial)" if len(runs) < expected else ""
             rc, lights, dur = map(np.array, zip(*runs))
             per_hour = lights / np.maximum(dur, 1e-9) * 3600
             if metric == "Success Rate":
@@ -72,7 +82,8 @@ def view_results(log_dir: str, metric: str = "Success Rate",
                 rows[1][ti + 1] = f"{round(float(np.mean(rc)), 2)}%"
             elif metric == "Lights Ran":
                 rows[1][ti + 1] = f"{round(float(np.mean(per_hour)), 2)} per hour"
-            rows[2][ti + 1] = f"{round(float(np.mean(dur)), 2)}s"
+            rows[1][ti + 1] += partial
+            rows[3][ti + 1] = f"{round(float(np.mean(dur)), 2)}s"
         if any_data:
             output.append(f"========= Results of {town}, "
                           f"weather {weather_set} =========")

@@ -25,8 +25,9 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .interface import (SIM_DT, CollisionEvent, DrivingBackend, EgoState,
-                        RoadOption, Route, SensorFrame, VehicleControl)
+from .interface import (SIM_DT, ActorState, CollisionEvent, DrivingBackend,
+                        EgoState, RoadOption, Route, SensorFrame,
+                        TrafficLightState, VehicleControl)
 
 __all__ = ["CarlaBackend"]
 
@@ -220,6 +221,34 @@ class CarlaBackend(DrivingBackend):
 
     def ran_red_light(self) -> bool:
         return self._ran_red
+
+    # -- privileged world state ---------------------------------------------------
+    def actor_states(self) -> List[ActorState]:
+        """Non-ego vehicle/walker snapshot via world.get_actors (the same
+        privileged state the reference experts read through
+        CarlaDataProvider; DrivingBackend.actor_states)."""
+        out = []
+        ego_id = self._ego.id if self._ego is not None else None
+        for pattern, kind in (("vehicle.*", "vehicle"), ("walker.*", "walker")):
+            for actor in self.world.get_actors().filter(pattern):
+                if ego_id is not None and actor.id == ego_id:
+                    continue
+                loc = actor.get_location()
+                vel = actor.get_velocity()
+                out.append(ActorState(kind=kind, x=float(loc.x),
+                                      y=float(loc.y), vx=float(vel.x),
+                                      vy=float(vel.y)))
+        return out
+
+    def traffic_light_states(self) -> List[TrafficLightState]:
+        """All traffic lights with their red/non-red state."""
+        red = self._carla.TrafficLightState.Red
+        out = []
+        for tl in self.world.get_actors().filter("traffic.traffic_light*"):
+            loc = tl.get_location()
+            out.append(TrafficLightState(x=float(loc.x), y=float(loc.y),
+                                         red=tl.get_state() == red))
+        return out
 
     def ran_stop_sign(self) -> bool:
         """Stop-sign zone tracking over the server's `traffic.stop` actors —

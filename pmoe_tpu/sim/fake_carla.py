@@ -24,9 +24,9 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .interface import (SIM_DT, CollisionEvent, DrivingBackend, EgoState,
-                        RoadOption, Route, SensorFrame, VehicleControl,
-                        xy_to_latlon)
+from .interface import (SIM_DT, ActorState, CollisionEvent, DrivingBackend,
+                        EgoState, RoadOption, Route, SensorFrame,
+                        TrafficLightState, VehicleControl, xy_to_latlon)
 
 __all__ = ["FakeCarlaBackend"]
 
@@ -85,19 +85,27 @@ class _TrafficLight:
 
 
 class _NPC:
-    """A point actor oscillating along a segment."""
+    """A point actor oscillating along a segment.
+
+    ``pause`` shifts the actor's effective clock: while yielding to the ego
+    (CARLA's TrafficManager collision detection / WalkerAIController obstacle
+    avoidance analog — server NPCs do not drive into a stopped ego), the
+    backend freezes the actor by accumulating pause time instead of mutating
+    the closed-form path."""
 
     def __init__(self, kind: str, a, b, speed: float, phase: float):
         self.kind = kind
         self.a, self.b = np.asarray(a, float), np.asarray(b, float)
         self.speed = speed
         self.phase = phase
+        self.pause = 0.0            # accumulated yield time (s)
+        self.paused_for = 0.0       # current consecutive yield streak (s)
 
     def position(self, t: float) -> np.ndarray:
         seg = self.b - self.a
         length = float(np.linalg.norm(seg)) or 1.0
-        # triangle wave in [0, 1]
-        u = ((t * self.speed / length) + self.phase) % 2.0
+        # triangle wave in [0, 1] on the pause-shifted clock
+        u = (((t - self.pause) * self.speed / length) + self.phase) % 2.0
         u = u if u <= 1.0 else 2.0 - u
         return self.a + u * seg
 
@@ -112,7 +120,7 @@ class _NPC:
         if speed is not None:
             self.speed = speed
         length = float(np.linalg.norm(self.b - self.a)) or 1.0
-        self.phase = (-t * self.speed / length) % 2.0
+        self.phase = (-(t - self.pause) * self.speed / length) % 2.0
 
 
 class FakeCarlaBackend(DrivingBackend):
@@ -270,10 +278,46 @@ class FakeCarlaBackend(DrivingBackend):
         self.frame += 1
         self.t += SIM_DT
 
+        self._advance_npcs()
         collision = self._check_collision()
         self._ran_red = self._check_red_light()
         self._ran_stop = self._check_stop_signs()
         return self._sensor_frame(collision)
+
+    #: NPC yield radii (m): server traffic does not drive/walk into the ego
+    #: (CARLA TrafficManager collision detection for vehicles,
+    #: WalkerAIController obstacle avoidance for pedestrians); the collision
+    #: radius itself is 2.0, so yields trigger with ~1 m of margin
+    _YIELD_RADIUS = {"vehicle": 3.5, "walker": 2.8}
+    #: after this long stuck yielding, an NPC reroutes away from the ego (the
+    #: TrafficManager's rerouting / a walker picking a new nav target)
+    _YIELD_REROUTE_S = 5.0
+
+    def _advance_npcs(self) -> None:
+        """Per-tick NPC yield pass: an actor whose next closed-form position
+        would close in on the ego inside its yield radius holds position
+        (pause-clock shift) instead; one stuck longer than
+        ``_YIELD_REROUTE_S`` reroutes away. Ego-caused collisions (driving
+        into an actor) still happen exactly as before — this only removes
+        the fake-world artifact of blind oscillators ramming a stopped ego,
+        which CARLA's server-side traffic never does."""
+        ego_p = np.array([self._ego.x, self._ego.y])
+        for npc in self._npcs:
+            held = npc.position(self.t - SIM_DT)
+            nxt = npc.position(self.t)
+            r = self._YIELD_RADIUS.get(npc.kind, 2.8)
+            d_nxt = float(np.linalg.norm(nxt - ego_p))
+            if d_nxt < r and d_nxt <= float(np.linalg.norm(held - ego_p)):
+                npc.pause += SIM_DT
+                npc.paused_for += SIM_DT
+                if npc.paused_for >= self._YIELD_REROUTE_S:
+                    away = held - ego_p
+                    n = float(np.linalg.norm(away)) or 1.0
+                    seg_len = float(np.linalg.norm(npc.b - npc.a)) or 30.0
+                    npc.retarget(self.t, b=held + away / n * seg_len)
+                    npc.paused_for = 0.0
+            else:
+                npc.paused_for = 0.0
 
     def _check_stop_signs(self) -> bool:
         """srunner RunningStopTest contract (atomic_criteria.py:1877): entering
@@ -599,6 +643,26 @@ class FakeCarlaBackend(DrivingBackend):
             lut = (np.arange(256, dtype=np.float64) * bright).astype(np.uint8)
             img = lut[img]
         return img, seg
+
+    # -- privileged world state --------------------------------------------------
+    def actor_states(self) -> List[ActorState]:
+        """Non-ego actor snapshot with finite-difference world velocities
+        (carla.World.get_actors analog; DrivingBackend.actor_states)."""
+        out = []
+        for npc in self._npcs:
+            p0 = npc.position(self.t)
+            p1 = npc.position(self.t + SIM_DT)
+            out.append(ActorState(kind=npc.kind, x=float(p0[0]),
+                                  y=float(p0[1]),
+                                  vx=float((p1[0] - p0[0]) / SIM_DT),
+                                  vy=float((p1[1] - p0[1]) / SIM_DT)))
+        return out
+
+    def traffic_light_states(self) -> List[TrafficLightState]:
+        """Traffic-light snapshot (carla.TrafficLight.get_state analog)."""
+        return [TrafficLightState(x=float(l.x), y=float(l.y),
+                                  red=l.is_red(self.t))
+                for l in self._lights]
 
     def weather_state(self) -> dict:
         return self._weather_sim.state(self.t)

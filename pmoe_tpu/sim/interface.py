@@ -25,6 +25,7 @@ from typing import List, Optional, Protocol, Sequence, Tuple
 import numpy as np
 
 __all__ = ["RoadOption", "VehicleControl", "EgoState", "CollisionEvent",
+           "ActorState", "TrafficLightState",
            "SensorFrame", "Route", "DrivingBackend", "latlon_to_xy",
            "xy_to_latlon", "SIM_DT"]
 
@@ -64,6 +65,29 @@ class CollisionEvent:
     frame: int
     other_type: str             # 'vehicle' | 'walker' | 'static'
     intensity: float = 1.0
+
+
+@dataclass
+class ActorState:
+    """Privileged world state for one non-ego actor (carla.World.get_actors
+    analog — the reference's scripted experts read the same privileged state
+    through CarlaDataProvider, e.g. autoagents/collector_agents use actor
+    transforms/velocities)."""
+
+    kind: str                   # 'vehicle' | 'walker' | 'static'
+    x: float
+    y: float
+    vx: float = 0.0             # world-frame velocity (m/s)
+    vy: float = 0.0
+
+
+@dataclass
+class TrafficLightState:
+    """Privileged traffic-light state (carla.TrafficLight.get_state analog)."""
+
+    x: float
+    y: float
+    red: bool
 
 
 @dataclass
@@ -138,6 +162,16 @@ class DrivingBackend(Protocol):
 
     def ran_red_light(self) -> bool:
         """True exactly on ticks where the ego crossed a red light."""
+        ...
+
+    def actor_states(self) -> List["ActorState"]:
+        """Privileged non-ego actor snapshot (positions + velocities). The
+        scripted experts use this for hazard braking, exactly like the
+        reference's privileged collectors read CARLA actor transforms."""
+        ...
+
+    def traffic_light_states(self) -> List["TrafficLightState"]:
+        """Privileged traffic-light snapshot (position + red/green)."""
         ...
 
     def close(self) -> None: ...

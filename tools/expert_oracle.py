@@ -32,9 +32,14 @@ def main():
     ap.add_argument("--routes", type=int, default=None)
     ap.add_argument("--noise", type=float, default=0.0)
     ap.add_argument("--max-ticks", type=int, default=4000)
+    ap.add_argument("--expert", choices=["plain", "traffic"], default="plain",
+                    help="plain = traffic-blind follower; traffic = "
+                         "privileged TrafficAwareExpert (brakes for NPCs "
+                         "and red lights)")
     args = ap.parse_args()
 
-    from pmoe_tpu.agents.collector_agent import CollectorAgent
+    from pmoe_tpu.agents.collector_agent import (CollectorAgent,
+                                                 TrafficAwareExpert)
     from pmoe_tpu.eval.evaluate_nocrash import _CollectingStats
     from pmoe_tpu.eval.nocrash import (NoCrashEvaluator, TRAFFIC_TABLES,
                                        default_suite_path, load_suite)
@@ -47,9 +52,12 @@ def main():
     table = TRAFFIC_TABLES.get(args.town, TRAFFIC_TABLES["Town01"])
     tmp = tempfile.mkdtemp(prefix="oracle_")
 
+    cls = TrafficAwareExpert if args.expert == "traffic" else CollectorAgent
+
     def factory():
-        return CollectorAgent({"out_dir": tmp, "episode": "oracle",
-                               "noise_std": args.noise, "save_every": 10**9})
+        return cls({"out_dir": tmp, "episode": "oracle",
+                    "noise_std": args.noise, "save_every": 10**9,
+                    "backend": backend})
 
     stats = _CollectingStats()
     ev = NoCrashEvaluator(backend, stats, routes=routes,

@@ -14,6 +14,7 @@ Usage: python tools/make_suites.py   (rewrites pmoe_tpu/assets/suites/*.txt)
 from __future__ import annotations
 
 import sys
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -30,7 +31,10 @@ def make_pairs(town: str, n_pairs: int = N_PAIRS):
     backend = FakeCarlaBackend(town=town, render=False)
     spawn = backend.spawn_points()
     n = len(spawn)
-    rng = np.random.default_rng(hash(town) % (2**31))
+    # stable across processes: str hash is randomized per run
+    # (PYTHONHASHSEED), which would silently regenerate DIFFERENT suites and
+    # invalidate cross-run comparisons (ADVICE r3); crc32 is deterministic
+    rng = np.random.default_rng(zlib.crc32(town.encode()))
 
     def legs(a, b):
         (ax, ay), (bx, by) = spawn[a], spawn[b]
@@ -66,10 +70,20 @@ def make_pairs(town: str, n_pairs: int = N_PAIRS):
 def main():
     out_dir = Path(__file__).resolve().parent.parent / "pmoe_tpu" / "assets" / "suites"
     out_dir.mkdir(parents=True, exist_ok=True)
+    force = "--force" in sys.argv
     for town in TOWNS:
         pairs = make_pairs(town)
         path = out_dir / f"nocrash_{town}.txt"
-        path.write_text("".join(f"{a} {b}\n" for a, b in pairs))
+        text = "".join(f"{a} {b}\n" for a, b in pairs)
+        if path.exists() and path.read_text() != text and not force:
+            # the committed suites are the canonical benchmark artifact:
+            # every published result and every data-collection holdout is
+            # defined against them — never silently replace them
+            print(f"REFUSING to overwrite {path}: regenerated suite differs "
+                  f"from the committed one (pass --force to replace, which "
+                  f"invalidates all existing results/holdouts for {town})")
+            continue
+        path.write_text(text)
         print(f"wrote {path} ({len(pairs)} pairs)")
 
 
