@@ -292,9 +292,11 @@ def bench_stage01():
     # nn.scan body ONCE for any trip count, and here BOTH the forward body
     # and its remat recompute inside the backward are undercounted. Correct
     # by finite difference on the TRAIN step against the scan-free T'=0
-    # graph (stage-1 freezes the seg U-Net, so the T'=0 step has no
-    # backward at all): body = cost(T'=1) - cost(T'=0), honest(T') =
-    # cost(T'=0) + T' * body. Counted with packing forced off so the packed
+    # graph. Both c0 and c1 include the full backward over all params
+    # (train_cost grads everything, seg U-Net included), so the c1 - c0
+    # difference isolates exactly one scan body fwd+bwd: body = cost(T'=1)
+    # - cost(T'=0), honest(T') = cost(T'=0) + T' * body. Counted with
+    # packing forced off so the packed
     # form's structural-zero MACs can't inflate MFU (bench_stage2
     # semantics).
     try:
@@ -335,8 +337,9 @@ def bench_stage01():
         finally:
             _os.environ.pop("PMOE_PACKED_UNET", None)
             _os.environ.pop("PMOE_PACKED_STEM", None)
-    except Exception:
-        pass
+    except Exception as e:      # keep the bench alive, but never silently
+        print(f"[bench] WARNING: stage-1 MFU correction failed, "
+              f"stage1_mfu omitted: {type(e).__name__}: {e}")
     return results
 
 

@@ -20,6 +20,7 @@ pedal = -brake if brake > 0.05 else throttle.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Iterator, List, Sequence, Tuple
 
@@ -72,16 +73,23 @@ def preprocess_measurements(m: dict, speed_factor: float = 10.0,
 
 
 # decoded-frame cache: path -> cropped/resized uint8 array. A 224x224x3
-# frame is 150 KB, so even a 100k-frame dataset caches in ~15 GB RAM; the
+# frame is 150 KB, so a 100k-frame dataset caches in ~15 GB RAM; the
 # reference hides PNG decode behind 8 DataLoader worker processes
 # (conf/stage_0.yaml:24) — on a low-core trainer host the cache turns every
 # epoch after the first into pure memory reads. Keyed by (path, crop,
-# resize) so differently-shaped readers never alias.
+# resize) so differently-shaped readers never alias. Capped by accumulated
+# BYTES (not entry count — an entry cap admits ~57 GiB of 224^2 frames,
+# ADVICE r3), configurable via PMOE_FRAME_CACHE_GB; admission stops at the
+# budget (no eviction: training re-reads the same epoch set, so the
+# first-admitted working set is the right one to keep).
 _FRAME_CACHE: dict = {}
-_FRAME_CACHE_MAX = 400_000
+_FRAME_CACHE_BUDGET = int(float(
+    os.environ.get("PMOE_FRAME_CACHE_GB", "16")) * (1 << 30))
+_frame_cache_bytes = 0
 
 
 def _cached_read(address: str, crop, resize, channels: int = 3) -> np.ndarray:
+    global _frame_cache_bytes
     key = (address, crop, resize)
     hit = _FRAME_CACHE.get(key)
     if hit is not None:
@@ -93,8 +101,9 @@ def _cached_read(address: str, crop, resize, channels: int = 3) -> np.ndarray:
         img = crop_resize(imread(address), crop, resize)
     img = np.ascontiguousarray(img.astype(np.uint8))
     img.setflags(write=False)
-    if len(_FRAME_CACHE) < _FRAME_CACHE_MAX:
+    if _frame_cache_bytes + img.nbytes <= _FRAME_CACHE_BUDGET:
         _FRAME_CACHE[key] = img
+        _frame_cache_bytes += img.nbytes
     return img
 
 

@@ -250,6 +250,40 @@ class CarlaBackend(DrivingBackend):
                                          red=tl.get_state() == red))
         return out
 
+    def road_polylines(self, precision: float = 2.0):
+        """Drivable-lane centerlines rasterized from the waypoint API
+        (map.generate_waypoints) — the birdview seam for ANY OpenDRIVE town,
+        the role of the reference's 1728-LoC pygame renderer
+        (leaderboard/envs/map_utils.py) without pygame: waypoints are grouped
+        per (road_id, lane_id), ordered by s, and returned as
+        (polyline (N,2), half_width) pairs. Cached per town."""
+        if getattr(self, "_road_polylines_cache", None) is not None:
+            return self._road_polylines_cache
+        lanes: dict = {}
+        for wp in self._map.generate_waypoints(precision):
+            key = (wp.road_id, wp.lane_id)
+            loc = wp.transform.location
+            lanes.setdefault(key, []).append(
+                (float(wp.s), float(loc.x), float(loc.y),
+                 float(wp.lane_width)))
+        out = []
+        for pts in lanes.values():
+            pts.sort(key=lambda p: p[0])
+            poly = np.array([[x, y] for _, x, y, _ in pts])
+            if len(poly) >= 2:
+                half_w = 0.5 * float(np.mean([w for *_, w in pts]))
+                out.append((poly, half_w))
+        self._road_polylines_cache = out
+        return out
+
+    def stop_sign_positions(self) -> List[Tuple[float, float]]:
+        """World positions of the server's traffic.stop actors."""
+        out = []
+        for actor in self.world.get_actors().filter("traffic.stop*"):
+            loc = actor.get_location()
+            out.append((float(loc.x), float(loc.y)))
+        return out
+
     def ran_stop_sign(self) -> bool:
         """Stop-sign zone tracking over the server's `traffic.stop` actors —
         same exit-without-stopping contract as the fake backend (srunner

@@ -664,6 +664,24 @@ class FakeCarlaBackend(DrivingBackend):
                                   red=l.is_red(self.t))
                 for l in self._lights]
 
+    def road_polylines(self) -> List[Tuple[np.ndarray, float]]:
+        """Drivable-road centerlines as (polyline (N,2), half_width) pairs —
+        the map-rasterization seam behind the birdview renderer (reference
+        map_utils.py draws the same geometry from OpenDRIVE). The grid town's
+        roads are its grid lines."""
+        span = self._grid_n * _BLOCK
+        out = []
+        for k in range(self._grid_n):
+            out.append((np.array([[k * _BLOCK, -10.0],
+                                  [k * _BLOCK, span + 10.0]]), 3.5))
+            out.append((np.array([[-10.0, k * _BLOCK],
+                                  [span + 10.0, k * _BLOCK]]), 3.5))
+        return out
+
+    def stop_sign_positions(self) -> List[Tuple[float, float]]:
+        """Stop-sign world positions (traffic.stop actor locations analog)."""
+        return [(float(s[0]), float(s[1])) for s in self._stop_signs]
+
     def weather_state(self) -> dict:
         return self._weather_sim.state(self.t)
 

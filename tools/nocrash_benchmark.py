@@ -78,8 +78,17 @@ def _training_routes(backend, episodes: int):
     return [pairs[i % len(pairs)] for i in range(episodes)]
 
 
-def collect(data_dir: Path, episodes: int, ticks: int) -> int:
-    from pmoe_tpu.agents.collector_agent import collect_episode
+def collect(data_dir: Path, episodes: int, ticks: int,
+            traffic_mix=None) -> int:
+    """Collect expert episodes. ``traffic_mix`` is a list of
+    (n_vehicles, n_pedestrians) cycled across episodes; when given, the
+    privileged :class:`TrafficAwareExpert` drives (brakes for NPCs and red
+    lights) so brake labels appear in the data — the round-3 root-cause gap
+    (reference datasets carry brake labels, model/data_loader.py:216-243).
+    With the default ``None`` the legacy traffic-blind follower collects
+    empty-road data (round-3 recipe, kept for artifact reproducibility)."""
+    from pmoe_tpu.agents.collector_agent import (TrafficAwareExpert,
+                                                 collect_episode)
     from pmoe_tpu.sim.fake_carla import FakeCarlaBackend
 
     if data_dir.exists() and any(data_dir.iterdir()):
@@ -91,13 +100,19 @@ def collect(data_dir: Path, episodes: int, ticks: int) -> int:
     # recovery states behavior cloning otherwise never sees (the reference's
     # noisy-expert collection idea, random_collector.py)
     noise = [0.0, 0.03, 0.08, 0.12]
+    agent_cls = TrafficAwareExpert if traffic_mix is not None else None
     total = 0
     for ep, (start, target) in enumerate(routes):
+        cars, peds = traffic_mix[ep % len(traffic_mix)] if traffic_mix \
+            else (0, 0)
         total += collect_episode(
             backend, str(data_dir), f"episode_{ep:03d}",
             start_idx=start, target_idx=target,
             weather=[1, 3, 6, 8][ep % 4],   # train weathers only
-            max_ticks=ticks, noise_std=noise[ep % len(noise)], seed=ep)
+            max_ticks=ticks, noise_std=noise[ep % len(noise)], seed=ep,
+            agent_cls=agent_cls, n_vehicles=cars, n_pedestrians=peds)
+        print(f"[bench] ep{ep:03d} {start}->{target} cars={cars} peds={peds} "
+              f"-> {total} frames total", flush=True)
     print(f"[bench] collected {total} frames over {episodes} episodes")
     return total
 
@@ -162,6 +177,11 @@ def main():
     ap.add_argument("--routes", type=int, default=None,
                     help="limit suite routes per town")
     ap.add_argument("--episodes", type=int, default=48)
+    ap.add_argument("--traffic-data", action="store_true",
+                    help="collect with the privileged TrafficAwareExpert "
+                         "over a traffic curriculum (empty/regular/dense "
+                         "NPC counts cycled) instead of the traffic-blind "
+                         "follower on empty roads")
     ap.add_argument("--ticks", type=int, default=2500)
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--batch", type=int, default=64)
@@ -177,7 +197,12 @@ def main():
     work.mkdir(parents=True, exist_ok=True)
     results_dir = work / "results"
 
-    collect(work / "data", args.episodes, args.ticks)
+    # traffic curriculum: half empty (red-light discipline still applies —
+    # the privileged expert stops at reds even with no NPCs), the rest split
+    # regular/dense (Town01 NoCrash tables, eval/nocrash.py TRAFFIC_TABLES)
+    mix = ([(0, 0), (20, 50), (0, 0), (100, 200), (20, 50), (0, 0)]
+           if args.traffic_data else None)
+    collect(work / "data", args.episodes, args.ticks, traffic_mix=mix)
     ckpt = train(work / "data", work / "ckpt", args.arch, args.epochs,
                  args.batch)
     conf = write_agent_conf(work / "benchmark_agent.yaml", ckpt, args.arch)
