@@ -126,15 +126,25 @@ class _SlotEntryBlock(nn.Module):
         w_conv0 = _Param("kernel", (3, 3, C, self.hidden), self.param_dtype,
                          name="conv_0")()
 
-        # eca_0 in canonical frame order (mirrors ECA.__call__ cast-for-cast)
-        pooled = jnp.mean(buf.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
-        pooled = roll_blocks(pooled, -shift)
-        y = jax.lax.conv_general_dilated(
-            pooled[:, :, None], w_eca0.astype(self.dtype), (1,),
-            [(k0 // 2, k0 // 2)], dimension_numbers=("NWC", "WIO", "NWC"))
-        gate = nn.sigmoid(y)[:, :, 0]
-        gate = roll_blocks(gate, shift)              # back to slot order
-        x = buf * gate[:, None, None, :].astype(buf.dtype)
+        if os.environ.get("PMOE_ECA0_IDENTITY", "0") == "1":
+            # Measurement-only knob: delete the window ECA entirely (gate=1,
+            # conv_0 reads the buffer directly). The paired A/B against the
+            # default bounds the 'fused ECA-pool+gate+entry-conv window
+            # pass' lever (PERF.md): a perfect fusion can at most remove
+            # the gate pass this knob deletes. Never enable for training.
+            x = buf
+        else:
+            # eca_0 in canonical frame order (mirrors ECA.__call__
+            # cast-for-cast)
+            pooled = jnp.mean(buf.astype(jnp.float32),
+                              axis=(1, 2)).astype(self.dtype)
+            pooled = roll_blocks(pooled, -shift)
+            y = jax.lax.conv_general_dilated(
+                pooled[:, :, None], w_eca0.astype(self.dtype), (1,),
+                [(k0 // 2, k0 // 2)], dimension_numbers=("NWC", "WIO", "NWC"))
+            gate = nn.sigmoid(y)[:, :, 0]
+            gate = roll_blocks(gate, shift)          # back to slot order
+            x = buf * gate[:, None, None, :].astype(buf.dtype)
 
         # conv_0 with input-channel blocks rotated into slot order:
         # w_slot[j] = w_canonical[(j - shift) % T]

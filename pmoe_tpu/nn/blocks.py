@@ -18,11 +18,23 @@ channel-broadcast dropout.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _bn_frozen_stats() -> bool:
+    """Measurement-only knob (``PMOE_BN_FROZEN_STATS=1``): run every
+    ConvBlock3 BatchNorm on its running statistics even in train mode,
+    deleting the batch-stat forward reduction AND its backward reduces.
+    This bounds the 'Pallas BN-epilogue backward fusion' lever (PERF.md):
+    no fusion can recover more than this wholesale deletion, so the paired
+    A/B against the default is the lever's upper bound. Never enable for
+    real training — statistics stop updating."""
+    return os.environ.get("PMOE_BN_FROZEN_STATS", "0") == "1"
 
 __all__ = ["MLP", "ConvBlock3", "ECA", "EfficientConvBlock", "eca_kernel_size",
            "get_activation"]
@@ -118,7 +130,7 @@ class ConvBlock3(nn.Module):
                 name=f"conv_{i}",
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train,
+                use_running_average=not train or _bn_frozen_stats(),
                 momentum=0.9,
                 epsilon=1e-5,
                 dtype=self.dtype,

@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--episodes", type=int, default=16)
     ap.add_argument("--ticks", type=int, default=1500)
     ap.add_argument("--town", default="Town01")
+    ap.add_argument("--traffic", action="store_true",
+                    help="spawn a traffic curriculum (empty/regular/dense "
+                         "cycled per episode) and label with the privileged "
+                         "TrafficAwareExpert's brake decision, so DAgger "
+                         "states carry brake supervision too")
     args = ap.parse_args()
 
     from pmoe_tpu.agents.image_agent import ImageAgent
@@ -74,10 +79,23 @@ def main():
     backend = FakeCarlaBackend(town=args.town, img_width=800, img_height=600,
                                render_seg=True)
     routes = nb._training_routes(backend, args.episodes)
+    # privileged brake labeler (hazards + red lights); zero without --traffic
+    from pmoe_tpu.agents.collector_agent import TrafficAwareExpert
+
+    labeler = TrafficAwareExpert.__new__(TrafficAwareExpert)
+    labeler.backend = backend
+    labeler.headway_s, labeler.d_min = 1.4, 6.0
+    labeler.corridor, labeler.horizon_s = 2.6, 1.5
+    labeler.light_radius, labeler.decel = 8.0, 4.0
+    mix = ([(0, 0), (20, 50), (100, 200), (20, 50)] if args.traffic
+           else [(0, 0)])
     total = 0
     for ep, (start, target) in enumerate(routes):
+        cars, peds = mix[ep % len(mix)]
         route = backend.trace_route(start, target)
-        frame = backend.reset(route, weather=[1, 3, 6, 8][ep % 4], seed=1000 + ep)
+        frame = backend.reset(route, weather=[1, 3, 6, 8][ep % 4],
+                              seed=1000 + ep, n_vehicles=cars,
+                              n_pedestrians=peds)
         agent = ImageAgent(cfg)
         agent.set_global_plan(route.gps_plan())
         dense = route.gps_plan()
@@ -98,6 +116,11 @@ def main():
                 label_wp = Waypointer(downsample_plan(dense), gps)
             steer, throttle, cmd = expert_action(
                 wp, label_wp, gps, frame.compass, frame.speed)
+            e = backend.ego_state()
+            brake = labeler._brake_decision(e.x, e.y, frame.compass,
+                                            frame.speed)
+            if brake > 0:
+                throttle = 0.0
             # record frame + EXPERT label
             name = f"{idx:06d}"
             cv2.imwrite(str(ep_dir / "rgb" / f"{name}.png"),
@@ -107,7 +130,7 @@ def main():
             cmd_value = int(cmd) if int(cmd) > 0 else int(
                 RoadOption.LANEFOLLOW)
             (ep_dir / "measurements" / f"{name}.json").write_text(
-                json.dumps({"steer": steer, "brake": 0.0,
+                json.dumps({"steer": steer, "brake": float(brake),
                             "throttle": throttle, "speed": frame.speed,
                             "target_speed": 6.0, "command": cmd_value}))
             idx += 1
