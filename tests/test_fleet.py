@@ -91,3 +91,34 @@ def test_fleet_more_slots_than_tasks(agent_cfg):
                                 verbose=False)
     runner.run([FleetTask("Town01", 0, 1, 0, 5)], stats)
     assert len(stats.rows) == 1
+
+
+def test_fleet_matches_sequential_with_traffic(agent_cfg):
+    """Regular-traffic parity (the round-4 grid's new cells): NPC spawns,
+    yield passes and collision outcomes must be identical between the
+    batched fleet and the sequential evaluator — same seed formula, same
+    per-tick order."""
+    backend = FakeCarlaBackend(img_width=800, img_height=600)
+    stats = _CollectingStats()
+    ev = NoCrashEvaluator(backend, stats, routes=ROUTES,
+                          max_ticks=MAX_TICKS, verbose=False)
+    table = TRAFFIC_TABLES["Town01"]
+    for route in ROUTES:
+        ev._run_episode(lambda: ImageAgent(agent_cfg), "Town01", 1, 3, route,
+                        table)
+    backend.close()
+    seq = stats.rows
+
+    fleet_stats = _CollectingStats()
+    runner = FleetNoCrashRunner(agent_cfg, n_slots=3, max_ticks=MAX_TICKS,
+                                verbose=False)
+    runner.run([FleetTask("Town01", 1, 3, s, t) for s, t in ROUTES],
+               fleet_stats)
+    assert len(fleet_stats.rows) == len(seq)
+    seq_by_route = {(r[3], r[4]): r for r in seq}
+    for row in fleet_stats.rows:
+        ref = seq_by_route[(row[3], row[4])]
+        assert row[:5] == ref[:5]
+        np.testing.assert_allclose(row[5], ref[5], atol=1e-6)
+        assert row[6] == ref[6]
+        np.testing.assert_allclose(row[7], ref[7], atol=1e-9)
