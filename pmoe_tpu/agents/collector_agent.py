@@ -164,24 +164,35 @@ class TrafficAwareExpert(CollectorAgent):
     (``-brake if brake > 0.05 else throttle``, data/dataset.py).
     """
 
+    #: tuning defaults, shared by the agent and the offline labeler:
+    #: headway_s/d_min — constant time-headway envelope; corridor — ego
+    #: half-width + NPC half-width + margin (walkers get +0.6); horizon_s —
+    #: actor prediction horizon sampled every 0.5 s; light_radius — mirror
+    #: of the violation check's 8 m; decel — planned service deceleration
+    #: (sim max is 8 m/s^2, fake_carla._MAX_BRAKE; planning with less
+    #: leaves margin)
+    DEFAULTS = {"headway_s": 1.4, "d_min": 6.0, "corridor": 2.6,
+                "horizon_s": 1.5, "light_radius": 8.0, "decel": 4.0}
+
     def setup(self, config) -> None:
         super().setup(config)
         config = config or {}
         #: privileged world handle (set by collect_episode / the DAgger tool)
         self.backend = config.get("backend")
-        self.headway_s = float(config.get("headway_s", 1.4))
-        self.d_min = float(config.get("d_min", 6.0))
-        #: ego corridor half-width for hazard tests (ego half-width + NPC
-        #: half-width + margin)
-        self.corridor = float(config.get("corridor", 2.6))
-        #: actor-prediction horizon (s) sampled every 0.5 s
-        self.horizon_s = float(config.get("horizon_s", 1.5))
-        #: red-light enforcement radius (m) — mirror of the violation check
-        self.light_radius = float(config.get("light_radius", 8.0))
-        #: assumed service deceleration for the stop-distance envelope; the
-        #: sim brakes at up to 8 m/s^2 (fake_carla _MAX_BRAKE), planning with
-        #: less leaves margin
-        self.decel = float(config.get("decel", 4.0))
+        for k, v in self.DEFAULTS.items():
+            setattr(self, k, float(config.get(k, v)))
+
+    @classmethod
+    def labeler(cls, backend, **overrides):
+        """Standalone expert instance for OFFLINE brake labeling (the DAgger
+        tool: the policy drives, this labels) — no dataset dirs, no
+        waypointers, just ``_brake_decision`` bound to the backend with the
+        same tuning the online expert uses."""
+        obj = cls.__new__(cls)
+        obj.backend = backend
+        for k, v in cls.DEFAULTS.items():
+            setattr(obj, k, float(overrides.get(k, v)))
+        return obj
 
     def _brake_decision(self, x: float, y: float, heading: float,
                         spd: float) -> float:

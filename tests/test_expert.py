@@ -13,7 +13,8 @@ from pmoe_tpu.agents.collector_agent import (CollectorAgent,
                                              TrafficAwareExpert,
                                              collect_episode)
 from pmoe_tpu.sim.fake_carla import FakeCarlaBackend, _NPC, _TrafficLight
-from pmoe_tpu.sim.interface import ActorState, TrafficLightState
+from pmoe_tpu.sim.interface import (ActorState, TrafficLightState,
+                                    VehicleControl)
 
 
 def _run_expert(backend, route, max_ticks, tmp_path, name="ep"):
@@ -158,3 +159,23 @@ def test_base_collector_never_brakes_contract(tmp_path):
     agent = CollectorAgent({"out_dir": str(tmp_path), "episode": "plain",
                             "backend": backend})
     assert agent._brake_decision(0.0, 0.0, 0.0, 5.0) == 0.0
+
+
+def test_offline_labeler_matches_online_expert(tmp_path):
+    """TrafficAwareExpert.labeler (the DAgger brake labeler) must produce the
+    same decision as the online expert for the same state — same DEFAULTS,
+    same rule."""
+    backend = FakeCarlaBackend(img_width=64, img_height=48, render=False)
+    route = backend.trace_route(5, 10)
+    backend.reset(route, n_vehicles=15, n_pedestrians=8, seed=2)
+    agent = TrafficAwareExpert({"out_dir": str(tmp_path), "episode": "x",
+                                "backend": backend, "save_every": 10**9})
+    labeler = TrafficAwareExpert.labeler(backend)
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        x, y = rng.uniform(0, 300, 2)
+        heading = rng.uniform(-math.pi, math.pi)
+        spd = rng.uniform(0, 8)
+        assert agent._brake_decision(x, y, heading, spd) == \
+            labeler._brake_decision(x, y, heading, spd)
+        backend.tick(VehicleControl(steer=0.0, throttle=0.3, brake=0.0))

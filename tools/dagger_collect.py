@@ -82,11 +82,7 @@ def main():
     # privileged brake labeler (hazards + red lights); zero without --traffic
     from pmoe_tpu.agents.collector_agent import TrafficAwareExpert
 
-    labeler = TrafficAwareExpert.__new__(TrafficAwareExpert)
-    labeler.backend = backend
-    labeler.headway_s, labeler.d_min = 1.4, 6.0
-    labeler.corridor, labeler.horizon_s = 2.6, 1.5
-    labeler.light_radius, labeler.decel = 8.0, 4.0
+    labeler = TrafficAwareExpert.labeler(backend)
     mix = ([(0, 0), (20, 50), (100, 200), (20, 50)] if args.traffic
            else [(0, 0)])
     total = 0
