@@ -169,7 +169,7 @@ class CarlaSegPred:
                  boost: int = 1, crop: Sequence[int] = (125, 90),
                  resize: Sequence[int] = (224, 224), speed_factor: float = 10,
                  n_commands: int = 4, cache: bool = False,
-                 boost_turns: int = 1):
+                 boost_turns: int = 1, thin_stopped: int = 1):
         if mode.lower() not in ("train", "val"):
             raise ValueError("Unknown parameter for mode, it should be 'train' or 'val'")
         self.mode = mode.lower()
@@ -204,6 +204,28 @@ class CarlaSegPred:
 
         rng = np.random.default_rng(seed)
         base = np.arange(len(self.img_address))
+        if thin_stopped > 1 and load_measurements:
+            # stationary-duplication correction: an expert waiting out a red
+            # light records ~200 near-identical (stopped, brake=1) windows
+            # per light cycle. Left unthinned they (a) dominate the pedal
+            # loss — the classic imitation failure where the clone learns
+            # to stay stopped forever — and (b) blow the device frame
+            # pool's HBM budget with duplicate frames. Keep 1 in
+            # ``thin_stopped`` windows whose label is a full stop
+            # (speed < 0.5 m/s AND brake); the brake ONSET (moving frames
+            # with brake labels) is never thinned — that's the signal.
+            def _stopped(mf):
+                m = json.load(open(mf))
+                return (float(m.get("speed", 0.0)) < 0.5
+                        and float(m.get("brake", 0.0)) > 0.05)
+
+            stopped_mask = np.array([_stopped(mf)
+                                     for mf in self.measurements])
+            stopped_idx = np.flatnonzero(stopped_mask)
+            keep = np.ones(len(base), bool)
+            keep[stopped_idx] = False
+            keep[stopped_idx[::thin_stopped]] = True
+            base = base[keep]
         if boost_turns > 1 and load_measurements:
             # command-imbalance correction: turn-commanded windows are a few
             # percent of a driving episode (a 90-degree turn is ~1.5 s of a

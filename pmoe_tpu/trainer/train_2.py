@@ -83,6 +83,7 @@ class Learner(BaseLearner):
                 cache=bool(dcfg.get("cache", False)),
                 boost_turns=int(dcfg.get("boost_turns", 1)) if mode == "train"
                 else 1,
+                thin_stopped=int(dcfg.get("thin_stopped", 1)),
             )
 
         self.train_set = make(ds, "train")
@@ -101,8 +102,13 @@ class Learner(BaseLearner):
                     "multi-chip hosts have full PCIe and stream fine")
             from ..data.device_pool import DeviceFramePool, IndexedSegPred
 
-            paths = [p for w in self.train_set.img_address for p in w]
-            paths += [p for w in self.val_set.img_address for p in w]
+            # only frames of windows actually reachable through .indices:
+            # thinned windows (dataset thin_stopped) must not inflate the
+            # pool's HBM footprint with their duplicate stopped frames
+            paths = [p for i in dict.fromkeys(self.train_set.indices.tolist())
+                     for p in self.train_set.img_address[i]]
+            paths += [p for i in dict.fromkeys(self.val_set.indices.tolist())
+                      for p in self.val_set.img_address[i]]
             pool = DeviceFramePool(paths, crop=tuple(ds.get("crop",
                                                             (125, 90))),
                                    resize=tuple(ds.get("resize",

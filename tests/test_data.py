@@ -60,3 +60,49 @@ def test_batch_loader_collation(synthetic_root):
     assert imgs.shape == (4, 4, 32, 32, 3)
     assert meas["control"].shape == (4, 2)
     assert len(loader) == 18 // 4
+
+
+def test_thin_stopped_windows(tmp_path):
+    """thin_stopped keeps 1-in-N fully-stopped brake windows and never thins
+    moving-brake (onset) or cruise windows — the red-light-wait duplication
+    fix (a waiting expert records hundreds of identical stopped frames)."""
+    import cv2
+    import json as _json
+
+    from pmoe_tpu.data.dataset import CarlaSegPred
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "episode_000"
+    for sub in ("rgb", "measurements"):
+        (d / sub).mkdir(parents=True)
+    # frames 0-9 cruising, 10-11 braking while moving (onset), 12-51 stopped
+    # at a light (brake, speed 0), 52-59 cruising again
+    for i in range(60):
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        cv2.imwrite(str(d / "rgb" / f"{i:05d}.png"), img)
+        if 10 <= i < 12:
+            m = {"steer": 0.0, "brake": 1.0, "throttle": 0.0, "speed": 4.0,
+                 "target_speed": 6.0, "command": 4}
+        elif 12 <= i < 52:
+            m = {"steer": 0.0, "brake": 1.0, "throttle": 0.0, "speed": 0.0,
+                 "target_speed": 6.0, "command": 4}
+        else:
+            m = {"steer": 0.1, "brake": 0.0, "throttle": 0.7, "speed": 5.0,
+                 "target_speed": 6.0, "command": 4}
+        (d / "measurements" / f"{i:05d}.json").write_text(_json.dumps(m))
+
+    def build(thin):
+        return CarlaSegPred(root=str(tmp_path), past_frames=4,
+                            future_frames=1, crop=(4, 4), resize=(16, 16),
+                            mode="train", load_measurements=True,
+                            thin_stopped=thin)
+
+    full, thinned = build(1), build(8)
+    n_stopped_full = sum(1 for i in full.indices
+                         if 12 <= i + 4 < 52)
+    n_stopped_thin = sum(1 for i in thinned.indices
+                         if 12 <= i + 4 < 52)
+    assert n_stopped_full == 40
+    assert n_stopped_thin == 5                      # 1 in 8
+    # non-stopped windows are untouched (onset + cruise all kept)
+    assert len(thinned) == len(full) - (40 - 5)

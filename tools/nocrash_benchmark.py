@@ -132,6 +132,11 @@ def train(data_dir: Path, ckpt_dir: Path, arch: str, epochs: int,
           "past_frames": 4, "future_frames": 1,
           "boost_turns": 4,      # turn windows are ~3% of a route: replicate
                                  # them so the loss learns the hard control
+          "thin_stopped": 12,    # waiting out a red light records ~200
+                                 # near-identical stopped windows per cycle:
+                                 # keep 1 in 12 (brake ONSETS never thinned)
+                                 # — fixes both pedal-loss imbalance and the
+                                 # device pool's ~6 GB HBM ceiling
           "device_pool": True}   # dataset-in-HBM: frames upload once,
                                  # batches carry int32 ids (the streaming
                                  # path re-uploads ~38 MB/step — measured
