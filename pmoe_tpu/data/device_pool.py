@@ -95,7 +95,10 @@ class IndexedSegPred:
             "IndexedSegPred wraps the stage-2 measurement mode")
         self.dataset = dataset
         self.pool = pool
-        self._windows = [pool.ids(w) for w in dataset.img_address]
+        # only windows reachable through .indices: thinned windows
+        # (thin_stopped) are absent from the pool by design
+        self._windows = {int(i): pool.ids(dataset.img_address[int(i)])
+                         for i in dict.fromkeys(dataset.indices.tolist())}
 
     def __len__(self) -> int:
         return len(self.dataset)
