@@ -179,3 +179,33 @@ def test_offline_labeler_matches_online_expert(tmp_path):
         assert agent._brake_decision(x, y, heading, spd) == \
             labeler._brake_decision(x, y, heading, spd)
         backend.tick(VehicleControl(steer=0.0, throttle=0.3, brake=0.0))
+
+
+def test_npc_yield_and_reroute():
+    """NPC yield pass (CARLA TrafficManager / walker-AI analog): an actor
+    whose path closes in on the ego inside its yield radius freezes instead
+    of ramming, and after 5 s stuck it reroutes away. Receding motion is
+    never paused."""
+    backend = FakeCarlaBackend(img_width=64, img_height=48, render=False)
+    route = backend.trace_route(0, 1)
+    backend.reset(route, seed=0)
+    e = backend.ego_state()
+    # walker marching straight at the (stationary) ego from 6 m ahead
+    npc = _NPC("walker", (e.x + 6.0, e.y), (e.x - 20.0, e.y),
+               speed=2.0, phase=0.0)
+    backend._npcs = [npc]
+    idle = VehicleControl(steer=0.0, throttle=0.0, brake=1.0)
+    min_d = 1e9
+    for _ in range(80):                         # 4 s
+        backend.tick(idle)
+        d = float(np.linalg.norm(npc.position(backend.t)
+                                 - [backend._ego.x, backend._ego.y]))
+        min_d = min(min_d, d)
+    assert min_d > 2.0, "yield failed: walker entered collision radius"
+    assert npc.paused_for > 0.5, "walker never yielded"
+    # keep standing: reroute fires after 5 s stuck and the walker walks away
+    for _ in range(140):                        # 7 more seconds
+        backend.tick(idle)
+    d_end = float(np.linalg.norm(npc.position(backend.t)
+                                 - [backend._ego.x, backend._ego.y]))
+    assert d_end > 3.5, f"walker never rerouted away (d={d_end:.2f})"
