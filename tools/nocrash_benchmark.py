@@ -195,6 +195,10 @@ def main():
     ap.add_argument("--fleet", type=int, default=0,
                     help="run the protocol through the batched fleet runner "
                          "with N lockstep slots (eval/fleet.py)")
+    ap.add_argument("--traffic-order", default="0,1,2",
+                    help="fleet task ordering by traffic level (e.g. 1,2,0 "
+                         "runs Regular and Dense cells before Empty — "
+                         "partial-run insurance for the newest cells)")
     ap.add_argument("--out", default=None, help="write the tables here")
     args = ap.parse_args()
 
@@ -279,8 +283,10 @@ def run_fleet_protocol(args, conf, results_dir) -> None:
                                              resume=True)
             managers[(town, group)] = stats
             tasks.extend(build_tasks(town, routes, weathers, stats))
-    # traffic-major order globally (empty cells first across all towns)
-    tasks.sort(key=lambda t: t.traffic_idx)
+    # traffic-major order globally, sequence set by --traffic-order
+    order = {int(t): i for i, t in
+             enumerate(args.traffic_order.split(","))}
+    tasks.sort(key=lambda t: order.get(t.traffic_idx, t.traffic_idx))
     router = _StatsRouter(managers)
     print(f"[bench] fleet protocol: {len(tasks)} episodes pending, "
           f"{args.fleet} slots")
