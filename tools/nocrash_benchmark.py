@@ -318,11 +318,15 @@ def render(results_dir: Path, arch: str, out: str | None,
             "Produced by `python tools/nocrash_benchmark.py` — the NoCrash "
             "protocol (traffic {empty,regular,dense} x 25 suite routes x "
             f"weather group per town, over {scope}) on the fake backend "
-            "through the parity-tested fleet runner (eval/fleet.py), with a "
-            f"stage-2 behavior-cloned checkpoint ({arch}; "
-            "checkpoints/moe-nocrash-r3.ckpt.gz — Town01 train-weather "
-            "data only, non-suite routes; Town02 and the test weathers are "
-            "held out). Success Rate = mean(route_completion == 100) with "
+            "through the parity-tested fleet runner (eval/fleet.py; parity "
+            "pinned for empty AND Regular-traffic episodes), with a "
+            f"stage-2 behavior-cloned checkpoint ({arch}; recipe + sha256 "
+            "in checkpoints/README.md — Town01 train-weather data only, "
+            "non-suite routes, collected by the privileged braking expert "
+            "over a traffic curriculum (empty/regular/dense NPC counts, "
+            "stop-at-red + time-headway brake labels, stopped-window "
+            "thinning); Town02 and the test weathers are held out). "
+            "Success Rate = mean(route_completion == 100) with "
             "terminal collisions failing the episode (reference "
             "view_benchmark_results.py:39-57 scoring). Cells not yet "
             "covered by the committed CSVs render N/A; the run is "
