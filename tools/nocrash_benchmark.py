@@ -199,6 +199,12 @@ def main():
                     help="fleet task ordering by traffic level (e.g. 1,2,0 "
                          "runs Regular and Dense cells before Empty — "
                          "partial-run insurance for the newest cells)")
+    ap.add_argument("--cell-robin", action="store_true",
+                    help="order tasks route-major across ALL cells (after k "
+                         "routes every town x weather x traffic cell has k "
+                         "routes of data) — an interrupted run leaves every "
+                         "cell populated and marked partial instead of "
+                         "whole cells N/A")
     ap.add_argument("--out", default=None, help="write the tables here")
     args = ap.parse_args()
 
@@ -283,10 +289,21 @@ def run_fleet_protocol(args, conf, results_dir) -> None:
                                              resume=True)
             managers[(town, group)] = stats
             tasks.extend(build_tasks(town, routes, weathers, stats))
-    # traffic-major order globally, sequence set by --traffic-order
+    # traffic-major order globally, sequence set by --traffic-order;
+    # --cell-robin instead interleaves routes across every cell
     order = {int(t): i for i, t in
              enumerate(args.traffic_order.split(","))}
-    tasks.sort(key=lambda t: order.get(t.traffic_idx, t.traffic_idx))
+    route_rank = {}
+    for town in args.towns:
+        suite = load_suite(default_suite_path(town)) or []
+        for r, pair in enumerate(suite):
+            route_rank[(town, pair[0], pair[1])] = r
+    if args.cell_robin:
+        tasks.sort(key=lambda t: (
+            route_rank.get((t.town, t.start_idx, t.target_idx), 99),
+            order.get(t.traffic_idx, t.traffic_idx), t.town, t.weather))
+    else:
+        tasks.sort(key=lambda t: order.get(t.traffic_idx, t.traffic_idx))
     router = _StatsRouter(managers)
     print(f"[bench] fleet protocol: {len(tasks)} episodes pending, "
           f"{args.fleet} slots")
