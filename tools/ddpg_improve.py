@@ -107,7 +107,7 @@ def main():
     backend = FakeCarlaBackend(town="Town01", img_width=800, img_height=600)
     env = DrivingGym(backend, past_frames=4, crop=(125, 90),
                      resize=(224, 224), n_commands=6, speed_factor=10,
-                     max_ticks=args.episode_ticks)
+                     episode_length=args.episode_ticks)
     actor_cfg = dict(nb.model_cfg(args.arch), lr=args.lr,
                      exclude_freeze=["action_pred"])
     ddpg = {
