@@ -171,6 +171,13 @@ class Agent:
         # peak HBM); learn() immediately replaces self.state, so the donated
         # buffers are never observed after the call
         self._learn_jit = jax.jit(self._learn_step, donate_argnums=(0,))
+        # critic-only specialization (warmup: fit Q to the BC policy's returns
+        # before any actor ascent — the fresh critic's early gradients are
+        # noise and damage a good BC actor faster than the return signal
+        # repairs it; measured in PERF.md "Stage-3 DDPG before/after")
+        self._learn_critic_jit = jax.jit(
+            partial(self._learn_step, critic_only=True),
+            donate_argnums=(0,))
         self._act_jit = jax.jit(self._act)
         self._staged = None                 # double-buffered replay batch
         self._windows_ok = True             # all transitions consecutive so far
@@ -377,7 +384,8 @@ class Agent:
             rngs={"sample": rng})
         return out
 
-    def _learn_step(self, state: DDPGState, batch: dict, rng):
+    def _learn_step(self, state: DDPGState, batch: dict, rng,
+                    critic_only: bool = False):
         k1, k2 = jax.random.split(rng)
         speed, command, action = batch["speed"], batch["command"], batch["action"]
         reward = batch["reward"].reshape(-1, 1)
@@ -453,6 +461,18 @@ class Agent:
         c_updates, critic_opt = self.critic_tx.update(
             c_grads, state.critic_opt, state.critic_params)
         critic_params = optax.apply_updates(state.critic_params, c_updates)
+
+        if critic_only:
+            # warmup: fit Q(s,a) to the current (BC) policy's returns; the
+            # actor, its target, and their optimizer states are untouched
+            soft_c = jax.tree_util.tree_map(
+                lambda a, b: a + self.tau * (b - a),
+                state.target_critic_params, critic_params)
+            new_state = state._replace(
+                critic_params=critic_params, critic_opt=critic_opt,
+                target_critic_params=soft_c)
+            return new_state, {"critic_loss": critic_loss,
+                               "actor_loss": jnp.float32(0.0)}
 
         def actor_loss_fn(ap):
             # prune the frozen subtrees' backward (reference requires_grad
@@ -530,7 +550,7 @@ class Agent:
             return shard_batch(self.mesh, batch)
         return {k: jax.device_put(v) for k, v in batch.items()}
 
-    def learn(self, fetch_metrics: bool = True):
+    def learn(self, fetch_metrics: bool = True, critic_only: bool = False):
         """One DDPG update. The NEXT batch's host->device transfer is staged
         before this step's metrics are fetched, so the (large, uint8) replay
         upload overlaps the device compute — double-buffered H2D, the
@@ -551,8 +571,8 @@ class Agent:
             # covers frames written between staging and this call)
             staged = dict(staged, frame_pool=self._pool)
         with self._packing_ctx():
-            self.state, metrics = self._learn_jit(self.state, staged,
-                                                  self._next_rng())
+            fn = self._learn_critic_jit if critic_only else self._learn_jit
+            self.state, metrics = fn(self.state, staged, self._next_rng())
         self._staged = self._stage_batch()      # uploads while step runs
         if not fetch_metrics:
             return metrics                      # device scalars, non-blocking

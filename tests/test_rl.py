@@ -436,6 +436,68 @@ def test_ddpg_learn_step(tiny_moe_cfg):
         after_alpha, before_alpha)
 
 
+def test_ddpg_critic_warmup_leaves_actor_untouched(tiny_moe_cfg):
+    """learn(critic_only=True) — the critic-warmup phase used by
+    tools/ddpg_improve.py — must train the critic while leaving the actor,
+    its target, and its optimizer state bitwise untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmoe_tpu.models.rl_agent import Agent
+
+    critic_mlp = lambda dims: {"dims": dims, "act": "relu", "l_act": False,
+                               "bn": False, "dropout": 0.0}
+    params = {
+        "gamma": 0.9, "tau": 0.01, "buffer_size": 64, "batch_size": 8,
+        "OU": {"mu": [0.0, 0.0], "sigma": [0.3, 0.1], "theta": 0.6},
+        "actor": dict(tiny_moe_cfg, lr=1e-4, exclude_freeze=["action_pred"]),
+        "critic": {
+            "lr": 1e-3,
+            "backbone": tiny_moe_cfg["backbone"],
+            "speed_encoder": critic_mlp([1, 32, 128]),
+            "command_encoder": critic_mlp([4, 32, 128]),
+            "action_encoder": critic_mlp([2, 32, 128]),
+            "value_prediction": critic_mlp([896, 64, 1]),
+        },
+    }
+    obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
+    agent = Agent(params, obs)
+    rng = np.random.default_rng(0)
+    for i in range(16):
+        agent.remember(
+            rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+            np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+            np.array([0.0, 0.5], np.float32), np.float32(1.0),
+            rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+            np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+            np.float32(i == 15))
+    actor_before = jax.tree_util.tree_map(
+        lambda a: np.asarray(a).copy(), agent.state.actor_params)
+    tgt_before = jax.tree_util.tree_map(
+        lambda a: np.asarray(a).copy(), agent.state.target_actor_params)
+    opt_before = jax.tree_util.tree_map(
+        lambda a: np.asarray(a).copy(), agent.state.actor_opt)
+    critic_before = np.asarray(
+        agent.state.critic_params["value_pred"]["dense_0"]["kernel"]
+    ).copy()
+    metrics = agent.learn(critic_only=True)
+    assert np.isfinite(metrics["critic_loss"])
+    assert metrics["actor_loss"] == 0.0
+    for name, before, after in [
+            ("actor", actor_before, agent.state.actor_params),
+            ("target", tgt_before, agent.state.target_actor_params),
+            ("opt", opt_before, agent.state.actor_opt)]:
+        jax.tree_util.tree_map(
+            lambda b, a: np.testing.assert_array_equal(b, np.asarray(a)),
+            before, after)
+    critic_after = np.asarray(
+        agent.state.critic_params["value_pred"]["dense_0"]["kernel"])
+    assert not np.allclose(critic_before, critic_after)
+    # a normal learn still works after warmup (both jit specializations alive)
+    metrics = agent.learn()
+    assert np.isfinite(metrics["actor_loss"])
+
+
 def test_actor_adam_state_only_for_trainable(tiny_moe_cfg):
     """The actor optimizer keeps Adam moments ONLY for the exclude_freeze
     subset: frozen leaves are optax.MaskedNode (no mu/nu buffers — at

@@ -82,6 +82,17 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-5)
+    ap.add_argument("--critic-warmup", type=int, default=0,
+                    help="critic-only learn steps before any actor update "
+                         "(fixes the run-1 failure mode: a fresh critic's "
+                         "early gradients are noise and damage the BC actor)")
+    ap.add_argument("--curve-name", default="ddpg_curve.json")
+    ap.add_argument("--before-json", default=None,
+                    help="reuse a recorded BEFORE spot result (JSON with "
+                         "sr/rc/per_route) instead of re-measuring; the spot "
+                         "is deterministic (fixed seeds + policy), so two "
+                         "measurements are identical — see ddpg_r4b.log")
+    ap.add_argument("--ckpt-name", default="moe-ddpg")
     ap.add_argument("--out", default=None,
                     help="append the result table to this markdown file")
     args = ap.parse_args()
@@ -99,9 +110,16 @@ def main():
     from pmoe_tpu.utils import graft, load_checkpoint, save_checkpoint
 
     # ---- BEFORE ------------------------------------------------------------
-    conf_before = nb.write_agent_conf(work / "ddpg_before.yaml", ckpt,
-                                      args.arch)
-    before = spot(conf_before, "Town01", args.routes, args.slots, "BEFORE")
+    if args.before_json:
+        before = json.loads(Path(args.before_json).read_text())
+        before["label"] = "BEFORE (recorded)"
+        print(f"[ddpg_improve] BEFORE (recorded): SR={before['sr']:.0f}% "
+              f"RC={before['rc']:.1f}%")
+    else:
+        conf_before = nb.write_agent_conf(work / "ddpg_before.yaml", ckpt,
+                                          args.arch)
+        before = spot(conf_before, "Town01", args.routes, args.slots,
+                      "BEFORE")
 
     # ---- FINE-TUNE ---------------------------------------------------------
     backend = FakeCarlaBackend(town="Town01", img_width=800, img_height=600)
@@ -145,7 +163,8 @@ def main():
             agent.remember(images[0], speed[0], command[0],
                            action.astype(np.float32), np.float32(reward),
                            ni[0], ns[0], nc[0], np.float32(done))
-            agent.learn(fetch_metrics=False)
+            agent.learn(fetch_metrics=False,
+                        critic_only=step < args.critic_warmup)
             images, speed, command = ni, ns, nc
             ep_reward += reward
             step += 1
@@ -163,12 +182,13 @@ def main():
     # host-fetch before saving (donated device buffers)
     actor_host = jax.tree_util.tree_map(np.asarray, agent.state.actor_params)
     save_checkpoint({"model": actor_host, "epoch": np.int64(episode)},
-                    False, str(tuned), "moe-ddpg")
-    (work / "ddpg_curve.json").write_text(json.dumps(curve, indent=1))
+                    False, str(tuned), args.ckpt_name)
+    (work / args.curve_name).write_text(json.dumps(curve, indent=1))
 
     # ---- AFTER -------------------------------------------------------------
     conf_after = nb.write_agent_conf(work / "ddpg_after.yaml",
-                                     tuned / "moe-ddpg.ckpt", args.arch)
+                                     tuned / f"{args.ckpt_name}.ckpt",
+                                     args.arch)
     after = spot(conf_after, "Town01", args.routes, args.slots, "AFTER")
 
     lines = [
@@ -177,8 +197,9 @@ def main():
         f"Protocol: Town01 first {args.routes} suite routes, empty traffic, "
         f"weather 1, deterministic policy, fixed seeds — identical before "
         f"and after. Fine-tune: {args.steps} env steps (learn every tick, "
-        f"batch {args.batch}, lr {args.lr}) on non-suite routes; curve in "
-        f"ddpg_curve.json.",
+        f"batch {args.batch}, lr {args.lr}, critic warmup "
+        f"{args.critic_warmup} critic-only steps) on non-suite routes; "
+        f"curve in {args.curve_name}.",
         "",
         "| checkpoint | SR | RC |",
         "|---|---|---|",

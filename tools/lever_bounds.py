@@ -52,9 +52,11 @@ def _timed_pairs(step_a, step_b, state_a, state_b, args, windows, steps):
 
     def run(step, state):
         t0 = time.perf_counter()
+        last = None
         for _ in range(steps):
-            state = step(*state, *args)
-        _ = float(state[-1])            # device->host barrier (tunnel-safe)
+            out = step(*state, *args)
+            state, last = out[:-1], out[-1]    # step returns (*state, loss)
+        _ = float(last)                 # device->host barrier (tunnel-safe)
         return state, steps / (time.perf_counter() - t0)
 
     # warm both
