@@ -92,6 +92,11 @@ def train(cfg) -> Agent:
             target_actor_params=jax.tree_util.tree_map(jnp.array, restored))
 
     max_episodes = int(tp.get("max_episodes", 10))
+    # critic-only learn steps before any actor ascent: a fresh critic's
+    # early gradients are noise and measurably damage a good BC actor
+    # (PERF.md "Stage-3 DDPG before/after" run 1); warmup fits Q to the BC
+    # policy's returns first. 0 = the reference recipe (train_3.py:45).
+    critic_warmup = int(tp.get("critic_warmup", 0))
     save_dir = cfg.get("directory", {}).get("save", "checkpoint")
     model_name = cfg.get("directory", {}).get("model_name", "PMoE-RL")
 
@@ -116,7 +121,8 @@ def train(cfg) -> Agent:
             # ticks: every other step stays fully asynchronous, so the 20 Hz
             # env loop never blocks on the tunnel round-trip
             fetch = (step + 1) % 50 == 0
-            metrics = agent.learn(fetch_metrics=fetch)
+            metrics = agent.learn(fetch_metrics=fetch,
+                                  critic_only=step < critic_warmup)
             images, speed, command = n_images, n_speed, n_command
             ep_reward += reward
             step += 1

@@ -131,7 +131,7 @@ def test_stage3_one_episode(tmp_path, tiny_moe_cfg):
     }
     cfg = Config({
         "train_params": {"max_episodes": 1, "episode_length": 10,
-                         "n_commands": 4},
+                         "n_commands": 4, "critic_warmup": 6},
         "env": {"backend": "fake", "town": "Town01", "img_width": 160,
                 "img_height": 120},
         "logger": {"disabled": True},
