@@ -486,6 +486,50 @@ def bench_inference_latency():
     return float(np.percentile(np.array(lat) * 1000.0, 50))
 
 
+def bench_inference_latency_device(n_inner: int = 50):
+    """Per-frame action-inference latency with the tunnel amortized away.
+
+    ``p50_inference_latency_ms`` times dispatch + D2H fetch per frame, which
+    on this tunneled runtime is ~= the relay RTT itself (VERDICT r4: 33.9 ms
+    vs 34.1 ms measured RTT) — it attributes the link, not the model. Here
+    ONE dispatch runs ``n_inner`` chained agent steps on device via
+    ``lax.scan`` (each step ingests a new uint8 frame, rolls the 4-frame
+    window, and samples an action), so wall/n_inner isolates the on-device
+    model latency; the single RTT amortizes to <1 ms/step at n_inner=50."""
+    model = get_model(_moe_cfg(), dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    frames0 = jnp.zeros((1, 4, 224, 224, 3), jnp.float32)
+    spd = jnp.zeros((1, 1), jnp.float32)
+    cmd = jnp.zeros((1, COMMANDS), jnp.float32)
+    variables = jit_init(model, {"params": rng}, frames0, spd, cmd)
+    new_frame = jnp.zeros((n_inner, 224, 224, 3), jnp.uint8)
+
+    @jax.jit
+    def chain(variables, frames, frames_u8, spd, cmd, rng):
+        def body(frames, i):
+            frame = frames_u8[i].astype(jnp.float32) / 255.0
+            frames = jnp.concatenate([frames[:, 1:], frame[None, None]],
+                                     axis=1)
+            action = model.apply(variables, frames, spd, cmd, False,
+                                 method="sample",
+                                 rngs={"sample": jax.random.fold_in(rng, i)})
+            return frames, action
+
+        frames, actions = jax.lax.scan(body, frames, jnp.arange(n_inner))
+        return frames, actions[-1]
+
+    frames, action = chain(variables, frames0, new_frame, spd, cmd, rng)
+    _ = np.asarray(action)             # compile barrier
+    per_call = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        frames, action = chain(variables, frames, new_frame, spd, cmd,
+                               jax.random.fold_in(rng, i))
+        _ = np.asarray(action)
+        per_call.append((time.perf_counter() - t0) / n_inner)
+    return float(np.percentile(np.array(per_call) * 1000.0, 50))
+
+
 def bench_engine_fps():
     """Episode-engine throughput WITHOUT the device in the loop (scripted
     agent): fake render + sensor hub + criteria + watchdog ticks/sec. Stable
@@ -557,6 +601,7 @@ def main():
     s2b_steps, s2b_flops = bench_stage2(batch=128)   # tpu128 conf point
     s2b_mfu = (s2b_flops * s2b_steps / peak) if s2b_flops > 0 else -1.0
     p50_ms = bench_inference_latency()
+    p50_dev_ms = bench_inference_latency_device()
     engine_fps = bench_engine_fps()
     loop_fps = bench_closed_loop_fps()
     s3_steps, s3_flops = bench_stage3()
@@ -581,6 +626,7 @@ def main():
             "stage3_b128_mfu": round(s3b_mfu, 4),
             **s01,
             "p50_inference_latency_ms": round(p50_ms, 3),
+            "p50_device_ms": round(p50_dev_ms, 3),
             "device_roundtrip_ms": round(rtt_ms, 3),
             "closed_loop_fps": round(loop_fps, 1),
             "sim_engine_fps": round(engine_fps, 1),

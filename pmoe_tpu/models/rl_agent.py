@@ -412,7 +412,7 @@ class Agent:
             n_images = self._norm(batch["new_images"])
 
         # targets: y = r + gamma * Q'(s', pi'(s')) * (1 - done)
-        if self._fused_trunk:
+        if self._fused_trunk and not critic_only:
             # ONE double-batch pass of the frozen PMoE trunk covers both the
             # target-actor (s') and actor (s) forwards: same FLOPs, but the
             # convs run at 2B batch (much better MXU utilization than two B
@@ -440,6 +440,11 @@ class Agent:
                  "batch_stats": state.actor_batch_stats},
                 moe_b[B:], punet_b[B:], method="head")
         else:
+            # critic-only warmup also lands here even when the trunk is
+            # fusable: the 2B fused pass would compute the actor s-half that
+            # only the (skipped) actor_loss_fn consumes, and XLA cannot DCE
+            # half of a concatenated-batch conv — the single-batch target
+            # forward on s' alone is the cheaper program (ADVICE r4).
             target_actions = self._forward_actor(
                 state.target_actor_params, state.actor_batch_stats,
                 n_images, n_speed, n_command, k1)

@@ -59,15 +59,30 @@ def critic_cfg(arch: str):
     }
 
 
-def spot(conf_path, town, routes, slots, label):
+def sha256(path: Path) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def spot(conf_path, town, routes, slots, label, ckpt=None):
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from train_and_spot import spot_eval
 
     rcs = spot_eval(conf_path, town, routes, slots)
     sr = 100 * float(np.mean(rcs == 100))
     print(f"[ddpg_improve] {label}: SR={sr:.0f}% RC={float(rcs.mean()):.1f}%")
-    return {"label": label, "sr": sr, "rc": float(rcs.mean()),
-            "per_route": rcs.round(1).tolist()}
+    rec = {"label": label, "sr": sr, "rc": float(rcs.mean()),
+           "per_route": rcs.round(1).tolist(),
+           "town": town, "routes": routes, "slots": slots}
+    if ckpt is not None:
+        rec["ckpt"] = str(ckpt)
+        rec["ckpt_sha256"] = sha256(Path(ckpt))
+    return rec
 
 
 def main():
@@ -112,6 +127,15 @@ def main():
     # ---- BEFORE ------------------------------------------------------------
     if args.before_json:
         before = json.loads(Path(args.before_json).read_text())
+        # a recorded BEFORE is only valid against the SAME checkpoint and
+        # protocol it was measured with (ADVICE r4: the r4 file was measured
+        # against a checkpoint that no longer exists) — refuse stale reuse
+        for key, want in (("ckpt_sha256", sha256(ckpt)),
+                          ("routes", args.routes), ("slots", args.slots)):
+            have = before.get(key)
+            assert have == want, (
+                f"--before-json {key}={have!r} does not match the current "
+                f"run ({want!r}); re-measure BEFORE (drop --before-json)")
         before["label"] = "BEFORE (recorded)"
         print(f"[ddpg_improve] BEFORE (recorded): SR={before['sr']:.0f}% "
               f"RC={before['rc']:.1f}%")
@@ -119,7 +143,9 @@ def main():
         conf_before = nb.write_agent_conf(work / "ddpg_before.yaml", ckpt,
                                           args.arch)
         before = spot(conf_before, "Town01", args.routes, args.slots,
-                      "BEFORE")
+                      "BEFORE", ckpt=ckpt)
+        (work / f"{args.ckpt_name}_before.json").write_text(
+            json.dumps(before, indent=1))
 
     # ---- FINE-TUNE ---------------------------------------------------------
     backend = FakeCarlaBackend(town="Town01", img_width=800, img_height=600)
@@ -147,6 +173,21 @@ def main():
     print(f"[ddpg_improve] actor initialized from {ckpt}")
 
     routes = nb._training_routes(backend, 1000)      # non-suite, deterministic
+    tuned = work / "ckpt_ddpg"
+    tuned.mkdir(parents=True, exist_ok=True)
+    # config snapshot FIRST (VERDICT r4 hygiene: the run must leave durable
+    # artifacts even if the session dies mid-fine-tune)
+    snap = {"args": vars(args), "ddpg": ddpg, "init_ckpt": str(ckpt),
+            "init_ckpt_sha256": sha256(ckpt)}
+    (tuned / f"{args.ckpt_name}_run.json").write_text(
+        json.dumps(snap, indent=1, default=str))
+
+    def save_actor(tag=""):
+        actor_host = jax.tree_util.tree_map(np.asarray,
+                                            agent.state.actor_params)
+        save_checkpoint({"model": actor_host, "epoch": np.int64(episode)},
+                        False, str(tuned), args.ckpt_name + tag)
+
     curve = []
     step, episode = 0, 0
     t0 = time.perf_counter()
@@ -176,13 +217,11 @@ def main():
               f" {step / (time.perf_counter() - t0):.2f} env-steps/s)",
               flush=True)
         episode += 1
+        if episode % 5 == 0:          # mid-run durability: ckpt + curve
+            save_actor()
+            (work / args.curve_name).write_text(json.dumps(curve, indent=1))
 
-    tuned = work / "ckpt_ddpg"
-    tuned.mkdir(parents=True, exist_ok=True)
-    # host-fetch before saving (donated device buffers)
-    actor_host = jax.tree_util.tree_map(np.asarray, agent.state.actor_params)
-    save_checkpoint({"model": actor_host, "epoch": np.int64(episode)},
-                    False, str(tuned), args.ckpt_name)
+    save_actor()
     (work / args.curve_name).write_text(json.dumps(curve, indent=1))
 
     # ---- AFTER -------------------------------------------------------------
