@@ -169,7 +169,8 @@ class CarlaSegPred:
                  boost: int = 1, crop: Sequence[int] = (125, 90),
                  resize: Sequence[int] = (224, 224), speed_factor: float = 10,
                  n_commands: int = 4, cache: bool = False,
-                 boost_turns: int = 1, thin_stopped: int = 1):
+                 boost_turns: int = 1, thin_stopped: int = 1,
+                 stride: int = 1):
         if mode.lower() not in ("train", "val"):
             raise ValueError("Unknown parameter for mode, it should be 'train' or 'val'")
         self.mode = mode.lower()
@@ -194,7 +195,13 @@ class CarlaSegPred:
                 meas_files = _sorted_files(d / "measurements", ".json")
             else:
                 mask_files = _sorted_files(d / "mask", ".png")
-            for i in range(len(rgb_files) - seq_len):
+            # ``stride`` subsamples window START positions — consecutive
+            # windows overlap in T-1 of T frames, so stride S keeps the state
+            # coverage while cutting windows (and epoch steps) by S; the
+            # lever that makes stage-1/punet training tractable at
+            # production frame counts (reference trains 82 epochs on a
+            # fixed corpus instead, conf/stage_1.yaml:104)
+            for i in range(0, len(rgb_files) - seq_len, max(1, int(stride))):
                 self.img_address.append(rgb_files[i: i + past_frames])
                 if load_measurements:
                     self.measurements.append(meas_files[i + past_frames])

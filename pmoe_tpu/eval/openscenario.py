@@ -12,21 +12,22 @@ generated from the story:
   mapped to the fake backend's vehicle / walker / static actor kinds. The
   entity named ``hero`` (or ``ego_vehicle``) is the ego and is driven by the
   agent, not scripted.
-* Init: per-entity ``TeleportAction`` (WorldPosition) + ``SpeedAction``.
+* Init: per-entity ``TeleportAction`` (WorldPosition or LanePosition) +
+  ``SpeedAction``; global ``EnvironmentAction`` (starting weather).
 * Story events: StartTrigger conditions ``SimulationTimeCondition``,
   ``ReachPositionCondition``, ``RelativeDistanceCondition`` /
   ``DistanceCondition``, ``TraveledDistanceCondition``; actions
-  ``SpeedAction``, ``TeleportAction``, and routing
-  ``AcquirePositionAction``.
+  ``SpeedAction``, ``TeleportAction``, routing ``AcquirePositionAction``,
+  and ``EnvironmentAction`` (mid-story weather change).
 * Storyboard StopTrigger ``SimulationTimeCondition`` becomes the scenario
   timeout.
 * ``ParameterDeclarations`` are substituted into ``$name`` references;
   parameters named ``criteria_<Name>`` enable the matching criterion, the
   srunner convention (openscenario_parser.py criteria handling).
 
-Unsupported OpenSCENARIO features (catalogs, controllers, lane/relative
-positions, trajectories, weather actions) raise a clear error rather than
-being silently ignored.
+Unsupported OpenSCENARIO features (catalogs, controllers, relative
+positions, trajectories) raise a clear error rather than being silently
+ignored.
 """
 
 from __future__ import annotations
@@ -67,6 +68,7 @@ class _Entity:
     position: Optional[np.ndarray] = None   # from Init TeleportAction
     heading: float = 0.0
     speed: float = 0.0                      # from Init SpeedAction
+    position_spec: Optional[dict] = None    # unresolved (e.g. LanePosition)
 
     @property
     def is_ego(self) -> bool:
@@ -88,6 +90,7 @@ class OpenScenarioConfiguration:
     entities: Dict[str, _Entity] = field(default_factory=dict)
     parameters: Dict[str, str] = field(default_factory=dict)
     timeout: Optional[float] = None
+    init_weather: Optional[int] = None      # Init EnvironmentAction preset
     criteria_names: List[str] = field(default_factory=list)
     # raw event specs; behaviors are built per-run because they hold state
     _story: Optional[ET.Element] = None
@@ -120,16 +123,94 @@ def _attr(elem: ET.Element, name: str, params: Dict[str, str],
     return _subst(v, params) if isinstance(v, str) else v
 
 
-def _world_position(elem: ET.Element, params) -> tuple:
+def _position_spec(elem: ET.Element, params) -> dict:
+    """Parse a Position into a backend-independent spec: WorldPosition
+    resolves immediately; LanePosition (roadId/laneId/s/offset) resolves
+    against the backend's map at scenario-build time (srunner converts it
+    via carla.Map.get_waypoint_xodr, openscenario_parser.py
+    convert_position_to_transform)."""
     wp = elem.find(".//WorldPosition")
-    if wp is None:
+    if wp is not None:
+        x = float(_attr(wp, "x", params, "0"))
+        y = float(_attr(wp, "y", params, "0"))
+        h = float(_attr(wp, "h", params, "0"))
+        return {"kind": "world", "xy": np.array([x, y]), "h": h}
+    lp = elem.find(".//LanePosition")
+    if lp is not None:
+        return {"kind": "lane",
+                "road": int(float(_attr(lp, "roadId", params, "0"))),
+                "lane": int(float(_attr(lp, "laneId", params, "-1"))),
+                "s": float(_attr(lp, "s", params, "0")),
+                "offset": float(_attr(lp, "offset", params, "0"))}
+    raise UnsupportedOpenScenarioFeature(
+        "only WorldPosition / LanePosition are supported (got "
+        f"{[c.tag for c in elem.iter()][1:3]})")
+
+
+def _resolve_position(spec: dict, backend) -> tuple:
+    """(xy, heading) for a position spec. LanePosition: ``roadId`` indexes
+    the backend's ``road_polylines()`` table (the OpenDRIVE road-id analog
+    of the map seam), ``s`` is arclength along the centerline, ``laneId``
+    follows OpenDRIVE: negative lanes lie right of the reference line and
+    run along +s, positive lanes left and against it."""
+    if spec["kind"] == "world":
+        return spec["xy"], spec["h"]
+    roads = backend.road_polylines()
+    if not (0 <= spec["road"] < len(roads)):
         raise UnsupportedOpenScenarioFeature(
-            "only WorldPosition is supported (got "
-            f"{[c.tag for c in elem.iter()][1:3]})")
-    x = float(_attr(wp, "x", params, "0"))
-    y = float(_attr(wp, "y", params, "0"))
-    h = float(_attr(wp, "h", params, "0"))
-    return np.array([x, y]), h
+            f"LanePosition roadId {spec['road']} outside the map's "
+            f"{len(roads)} roads")
+    line, half_width = roads[spec["road"]]
+    line = np.asarray(line, float)
+    seg = np.diff(line, axis=0)
+    seg_len = np.linalg.norm(seg, axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    s = float(np.clip(spec["s"], 0.0, cum[-1]))
+    i = int(np.searchsorted(cum[1:], s, side="right"))
+    i = min(i, len(seg) - 1)
+    t = (s - cum[i]) / max(seg_len[i], 1e-9)
+    point = line[i] + t * seg[i]
+    tangent = seg[i] / max(seg_len[i], 1e-9)
+    normal_right = np.array([tangent[1], -tangent[0]])    # right of +s
+    lane = spec["lane"]
+    # lane centers sit (|laneId| - 0.5) widths from the reference line:
+    # negative ids right of it, positive left; ``offset`` is the OpenDRIVE
+    # t-offset (positive to the LEFT of +s)
+    lateral = (abs(lane) - 0.5) * half_width if lane != 0 else 0.0
+    side = 1.0 if lane < 0 else -1.0
+    xy = point + side * lateral * normal_right - spec["offset"] * normal_right
+    heading = math.atan2(tangent[1], tangent[0])
+    if lane > 0:                                      # against +s
+        heading += math.pi
+    return xy, heading
+
+
+def _weather_preset(env: ET.Element, params) -> int:
+    """Map an OpenSCENARIO Weather element to the nearest NoCrash preset id
+    (srunner builds carla.WeatherParameters from the same fields,
+    openscenario_parser.py get_weather_from_env_action). Sun ``elevation``
+    is radians; ``Precipitation intensity`` is 0..1."""
+    sun = env.find(".//Sun")
+    prec = env.find(".//Precipitation")
+    elevation = float(_attr(sun, "elevation", params, "1.31")) \
+        if sun is not None else 1.31
+    intensity = float(_attr(prec, "intensity", params, "0")) \
+        if prec is not None else 0.0
+    noon = elevation > 0.52          # > 30 degrees
+    if intensity <= 0.05:
+        return 1 if noon else 8
+    if intensity < 0.7:
+        return 3 if noon else 10
+    return 6 if noon else 14
+
+
+def _world_position(elem: ET.Element, params) -> tuple:
+    """WorldPosition-only resolution for call sites that have no backend."""
+    spec = _position_spec(elem, params)
+    if spec["kind"] != "world":
+        raise UnsupportedOpenScenarioFeature(
+            "this construct requires a WorldPosition")
+    return spec["xy"], spec["h"]
 
 
 def _speed_target(action: ET.Element, params) -> float:
@@ -180,11 +261,18 @@ def load_xosc(path: str) -> OpenScenarioConfiguration:
         for action in priv.findall("PrivateAction"):
             tele = action.find(".//TeleportAction")
             if tele is not None:
-                ent.position, ent.heading = _world_position(tele,
-                                                            cfg.parameters)
+                spec = _position_spec(tele, cfg.parameters)
+                ent.position_spec = spec
+                if spec["kind"] == "world":
+                    ent.position, ent.heading = spec["xy"], spec["h"]
             speed = action.find(".//SpeedAction")
             if speed is not None:
                 ent.speed = _speed_target(speed, cfg.parameters)
+
+    # Init global EnvironmentAction -> starting weather preset
+    for env in root.findall(
+            ".//Storyboard/Init/Actions/GlobalAction//EnvironmentAction"):
+        cfg.init_weather = _weather_preset(env, cfg.parameters)
 
     # storyboard stop trigger -> timeout
     for cond in root.findall(
@@ -216,6 +304,19 @@ class _TeleportNPC(Behavior):
         npc.a = self.position.copy()
         npc.b = self.position + 100.0 * d
         npc.phase = (-backend.t * npc.speed / 100.0) % 2.0
+        return Status.SUCCESS
+
+
+class _SetWeather(Behavior):
+    """GlobalAction EnvironmentAction: switch the weather preset mid-episode
+    (srunner ChangeWeather atomic, openscenario_parser.py
+    get_weather_from_env_action)."""
+
+    def __init__(self, preset: int):
+        self.preset = int(preset)
+
+    def tick(self, backend, ego) -> Status:
+        backend.set_weather(self.preset)
         return Status.SUCCESS
 
 
@@ -267,12 +368,24 @@ class OpenScenario(BasicScenario):
     def _spawner_for(self, name: str) -> SpawnNPC:
         ent = self.config.entities[name]
         if name not in self._spawners:
-            pos = ent.position if ent.position is not None \
-                else np.asarray(self.route.positions[0], float) + 10.0
-            d = np.array([math.cos(ent.heading), math.sin(ent.heading)])
+            if ent.position is not None:
+                pos, heading = ent.position, ent.heading
+            elif ent.position_spec is not None:     # e.g. LanePosition
+                pos, heading = _resolve_position(ent.position_spec,
+                                                 self.backend)
+            else:
+                pos = np.asarray(self.route.positions[0], float) + 10.0
+                heading = ent.heading
+            d = np.array([math.cos(heading), math.sin(heading)])
             self._spawners[name] = SpawnNPC(
                 ent.kind, pos, pos + 100.0 * d, speed=ent.speed)
         return self._spawners[name]
+
+    def _position(self, elem: ET.Element) -> tuple:
+        """(xy, heading) of any supported Position under ``elem``, resolved
+        against this scenario's backend (LanePosition needs the map)."""
+        return _resolve_position(
+            _position_spec(elem, self.config.parameters), self.backend)
 
     def _compile_condition(self, cond: ET.Element) -> Optional[Behavior]:
         params = self.config.parameters
@@ -281,7 +394,7 @@ class OpenScenario(BasicScenario):
             return WaitForSeconds(float(_attr(st, "value", params, "0")))
         rp = cond.find(".//ReachPositionCondition")
         if rp is not None:
-            pos, _h = _world_position(rp, params)
+            pos, _h = self._position(rp)
             tol = float(_attr(rp, "tolerance", params, "5"))
             ref = self._condition_entity(cond)
             if ref is None or ref.is_ego:
@@ -341,11 +454,11 @@ class OpenScenario(BasicScenario):
             return SetNPCSpeed(spawner, _speed_target(speed, params))
         tele = action.find(".//TeleportAction")
         if tele is not None:
-            pos, h = _world_position(tele, params)
+            pos, h = self._position(tele)
             return _TeleportNPC(spawner, pos, h)
         acquire = action.find(".//AcquirePositionAction")
         if acquire is not None:
-            pos, _h = _world_position(acquire, params)
+            pos, _h = self._position(acquire)
             return SetNPCPath(spawner, pos)
         return None
 
@@ -366,16 +479,24 @@ class OpenScenario(BasicScenario):
                         if b is not None:
                             event.triggers.append(b)
                     for act in ev.findall("Action"):
-                        b = self._compile_action(act, actor)
+                        env = act.find(".//EnvironmentAction")
+                        b = (_SetWeather(_weather_preset(
+                                 env, self.config.parameters))
+                             if env is not None
+                             else self._compile_action(act, actor))
                         if b is not None:
                             event.actions.append(b)
                     if event.actions or event.triggers:
                         events.append(Sequence(
                             event.triggers + event.actions,
                             name=event.name))
+        # Init EnvironmentAction: apply the starting weather before any tick
+        if self.config.init_weather is not None:
+            spawn_all.append(_SetWeather(self.config.init_weather))
         # spawn every scripted entity that has an init position up front
         for name, ent in self.config.entities.items():
-            if not ent.is_ego and ent.position is not None:
+            if not ent.is_ego and (ent.position is not None
+                                   or ent.position_spec is not None):
                 spawn_all.append(self._spawner_for(name))
         body: Behavior = Parallel(events, success_on_one=False,
                                   name="story") if events else \

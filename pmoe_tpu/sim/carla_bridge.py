@@ -108,6 +108,22 @@ class CarlaBackend(DrivingBackend):
                    for _, c in route]
         return Route(positions=positions, options=options)
 
+    def set_weather(self, preset: int) -> None:
+        """Apply a NoCrash weather preset id (also mid-episode — the
+        OpenSCENARIO EnvironmentAction surface; reference
+        openscenario_parser.py get_weather_from_env_action)."""
+        carla = self._carla
+        weather_map = {
+            1: carla.WeatherParameters.ClearNoon,
+            3: carla.WeatherParameters.WetNoon,
+            6: carla.WeatherParameters.HardRainNoon,
+            8: carla.WeatherParameters.ClearSunset,
+            10: carla.WeatherParameters.WetSunset,
+            14: carla.WeatherParameters.SoftRainSunset,
+        }
+        self.world.set_weather(weather_map.get(int(preset),
+                                               carla.WeatherParameters.ClearNoon))
+
     # -- episode ------------------------------------------------------------------
     def reset(self, route: Route, weather: int = 1, n_vehicles: int = 0,
               n_pedestrians: int = 0, seed: int = 0) -> SensorFrame:
@@ -117,16 +133,7 @@ class CarlaBackend(DrivingBackend):
         self._ran_red = False
         self._was_before_light = {}
 
-        weather_map = {
-            1: carla.WeatherParameters.ClearNoon,
-            3: carla.WeatherParameters.WetNoon,
-            6: carla.WeatherParameters.HardRainNoon,
-            8: carla.WeatherParameters.ClearSunset,
-            10: carla.WeatherParameters.WetSunset,
-            14: carla.WeatherParameters.SoftRainSunset,
-        }
-        self.world.set_weather(weather_map.get(weather,
-                                               carla.WeatherParameters.ClearNoon))
+        self.set_weather(weather)
 
         bp_lib = self.world.get_blueprint_library()
         x0, y0 = route.positions[0]

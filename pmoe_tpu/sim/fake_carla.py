@@ -716,6 +716,13 @@ class FakeCarlaBackend(DrivingBackend):
     def weather_state(self) -> dict:
         return self._weather_sim.state(self.t)
 
+    def set_weather(self, preset: int) -> None:
+        """Mid-episode weather change (OpenSCENARIO EnvironmentAction /
+        carla.World.set_weather analog): restarts the weather simulation at
+        the given preset; rendering picks it up on the next tick."""
+        self._weather = int(preset)
+        self._weather_sim = _WeatherSim(int(preset))
+
     def close(self) -> None:
         self._route = None
         self._npcs = []

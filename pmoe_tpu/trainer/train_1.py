@@ -52,6 +52,7 @@ class Learner(BaseLearner):
                 boost=int(dcfg.get("boost", 1)),
                 crop=tuple(dcfg.get("crop", (125, 90))),
                 resize=tuple(dcfg.get("resize", (224, 224))),
+                stride=int(dcfg.get("stride", 1)),
             )
 
         self.train_set = make(ds, "train")

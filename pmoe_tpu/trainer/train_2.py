@@ -84,6 +84,7 @@ class Learner(BaseLearner):
                 boost_turns=int(dcfg.get("boost_turns", 1)) if mode == "train"
                 else 1,
                 thin_stopped=int(dcfg.get("thin_stopped", 1)),
+                stride=int(dcfg.get("stride", 1)),
             )
 
         self.train_set = make(ds, "train")

@@ -152,3 +152,66 @@ def test_multi_act_story_executes_both_acts():
     assert np.allclose(walker.position(backend.t), [30.0, 90.0], atol=1e-6)
     assert walker.speed == 0.0
     backend.close()
+
+
+LANE_XOSC = "pmoe_tpu/assets/openscenario/lane_position.xosc"
+WEATHER_XOSC = "pmoe_tpu/assets/openscenario/weather_change.xosc"
+
+
+def test_lane_position_document_parses_to_spec():
+    cfg = load_xosc(LANE_XOSC)
+    ent = cfg.entities["parked"]
+    assert ent.position is None                    # unresolved until a map
+    assert ent.position_spec == {"kind": "lane", "road": 0, "lane": -1,
+                                 "s": 52.0, "offset": 0.0}
+
+
+def test_lane_position_resolves_on_the_map_and_story_executes():
+    """Init LanePosition spawns the NPC at road 0 / lane -1 / s=52 (the
+    vertical grid road at x=0 runs y=-10..+; lane -1 center is half a road
+    width right of the reference line), and the mid-story
+    AcquirePositionAction with a LanePosition target drives it to s=150."""
+    backend = FakeCarlaBackend(render=False)
+    cfg = load_xosc(LANE_XOSC)
+
+    def factory(bk, route, seed=0):
+        return OpenScenario(bk, route, seed=seed, config=cfg)
+
+    factory.__name__ = "OpenScenario"
+    scenario, result = run_scenario(backend, factory, ScriptedFollowAgent(None),
+                                    start_idx=0, target_idx=3,
+                                    max_ticks=3000, verbose=False)
+    assert scenario.status == Status.SUCCESS
+    assert len(backend._npcs) == 1
+    npc = backend._npcs[0]
+    # spawned at the resolved lane coordinate: road 0 is the x=0 polyline
+    # from y=-10, so s=52 -> y=42; lane -1 -> x=+1.75 (half of half_width 3.5)
+    line, half_width = backend.road_polylines()[0]
+    assert np.allclose(npc.a, [0.0 + half_width / 2, line[0][1] + 52.0],
+                       atol=1e-6)
+    # the AcquirePositionAction retargeted it toward s=150 -> y=140 and the
+    # SpeedAction started it moving
+    assert float(npc.b[1]) > float(npc.a[1]) + 50.0
+    assert npc.speed == 6.0
+    backend.close()
+
+
+def test_environment_action_sets_and_changes_weather():
+    """Init EnvironmentAction -> wet-noon preset before the first frame;
+    the storyboard's 2 s EnvironmentAction switches to hard-rain sunset
+    (preset 14: sunset elevation 0.3 rad + intensity 0.9)."""
+    backend = FakeCarlaBackend(render=False)
+    cfg = load_xosc(WEATHER_XOSC)
+    assert cfg.init_weather == 3                   # noon + intensity 0.4
+
+    def factory(bk, route, seed=0):
+        return OpenScenario(bk, route, seed=seed, config=cfg)
+
+    factory.__name__ = "OpenScenario"
+    scenario, result = run_scenario(backend, factory, ScriptedFollowAgent(None),
+                                    start_idx=0, target_idx=3,
+                                    max_ticks=3000, verbose=False)
+    assert scenario.status == Status.SUCCESS
+    assert backend._weather == 14                  # the storm rolled in
+    assert backend.weather_state()["precipitation"] == pytest.approx(0.3)
+    backend.close()

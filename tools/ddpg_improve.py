@@ -97,6 +97,20 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-5)
+    ap.add_argument("--pmoe-conf", default=None,
+                    help="agent conf yaml with a pmoe actor (from "
+                         "tools/pmoe_chain.py); switches the fine-tune to "
+                         "the reference stage-3 recipe's actor type "
+                         "(conf/stage_3.yaml:73-75)")
+    ap.add_argument("--exclude-freeze", nargs="*", default=None,
+                    help="actor exclude_freeze list (names kept trainable); "
+                         "default: ['action_pred'] for moe, the reference's "
+                         "['model_weights','alpha'] for pmoe")
+    ap.add_argument("--bc-warmstart", type=int, default=0,
+                    help="fill the replay buffer with N env steps driven by "
+                         "the BC policy BEFORE any learning, so the critic "
+                         "warms on on-policy-quality data instead of "
+                         "post-crash states (VERDICT r4 weak #7)")
     ap.add_argument("--critic-warmup", type=int, default=0,
                     help="critic-only learn steps before any actor update "
                          "(fixes the run-1 failure mode: a fresh critic's "
@@ -140,8 +154,14 @@ def main():
         print(f"[ddpg_improve] BEFORE (recorded): SR={before['sr']:.0f}% "
               f"RC={before['rc']:.1f}%")
     else:
-        conf_before = nb.write_agent_conf(work / "ddpg_before.yaml", ckpt,
-                                          args.arch)
+        if args.pmoe_conf:
+            import shutil
+
+            conf_before = work / "ddpg_before.yaml"
+            shutil.copyfile(args.pmoe_conf, conf_before)
+        else:
+            conf_before = nb.write_agent_conf(work / "ddpg_before.yaml", ckpt,
+                                              args.arch)
         before = spot(conf_before, "Town01", args.routes, args.slots,
                       "BEFORE", ckpt=ckpt)
         (work / f"{args.ckpt_name}_before.json").write_text(
@@ -152,8 +172,28 @@ def main():
     env = DrivingGym(backend, past_frames=4, crop=(125, 90),
                      resize=(224, 224), n_commands=6, speed_factor=10,
                      episode_length=args.episode_ticks)
-    actor_cfg = dict(nb.model_cfg(args.arch), lr=args.lr,
-                     exclude_freeze=["action_pred"])
+    if args.pmoe_conf:
+        # reference stage-3 recipe: the pmoe actor with everything frozen
+        # except names in exclude_freeze (conf/stage_3.yaml:73-75 —
+        # ['model_weights','alpha'], i.e. the MoE gate heads; the lat/long
+        # mixers match neither string and stay frozen, exactly like the
+        # torch reference's substring freeze, utils/nn.py:22-58)
+        import yaml
+
+        actor_cfg = dict(yaml.safe_load(Path(args.pmoe_conf).read_text())
+                         ["model"]["actor"])
+        actor_cfg.pop("model_dir", None)      # grafted below from --ckpt
+        actor_cfg["lr"] = args.lr
+        actor_cfg["exclude_freeze"] = (args.exclude_freeze
+                                       if args.exclude_freeze is not None
+                                       else ["model_weights", "alpha"])
+    else:
+        actor_cfg = dict(nb.model_cfg(args.arch), lr=args.lr,
+                         exclude_freeze=(args.exclude_freeze
+                                         if args.exclude_freeze is not None
+                                         else ["action_pred"]))
+    print(f"[ddpg_improve] actor type={actor_cfg['type']} "
+          f"exclude_freeze={actor_cfg['exclude_freeze']}")
     ddpg = {
         "gamma": 0.9, "tau": 0.001, "buffer_size": 20000,
         "batch_size": args.batch, "device_replay": "auto",
@@ -167,10 +207,20 @@ def main():
     ck = load_checkpoint(str(ckpt))
     restored = jax.device_put(graft(agent.state.actor_params,
                                     ck.get("model", ck), verbose=False))
+    bs = ck.get("batch_stats")
+    if bs:
+        # the backbone's BatchNorm running stats are part of the policy —
+        # without them agent.sample rolls out a different network than the
+        # spot evals score (latent in the r4 runs; fixed this round)
+        agent.state = agent.state._replace(
+            actor_batch_stats=jax.device_put(
+                graft(agent.state.actor_batch_stats, bs, verbose=False)))
     agent.state = agent.state._replace(
         actor_params=restored,
         target_actor_params=jax.tree_util.tree_map(jnp.array, restored))
-    print(f"[ddpg_improve] actor initialized from {ckpt}")
+    init_actor_host = jax.tree_util.tree_map(np.asarray, restored)
+    print(f"[ddpg_improve] actor initialized from {ckpt} "
+          f"(batch_stats {'restored' if bs else 'absent'})")
 
     routes = nb._training_routes(backend, 1000)      # non-suite, deterministic
     tuned = work / "ckpt_ddpg"
@@ -189,31 +239,41 @@ def main():
                         False, str(tuned), args.ckpt_name + tag)
 
     curve = []
+    warm = int(args.bc_warmstart)
+    total = warm + args.steps
     step, episode = 0, 0
     t0 = time.perf_counter()
-    while step < args.steps:
+    while step < total:
         start, target = routes[episode % len(routes)]
         images, speed, command = env.reset(
             start_idx=start, target_idx=target,
             weather=[1, 3, 6, 8][episode % 4], seed=episode)
         agent.noise.reset()
         ep_reward, done, info = 0.0, False, {"route_completion": 0.0}
-        while not done and step < args.steps:
+        while not done and step < total:
             action = agent.sample(images, speed, command)[0]
             (ni, ns, nc), reward, done, info = env.step(action)
             agent.remember(images[0], speed[0], command[0],
                            action.astype(np.float32), np.float32(reward),
                            ni[0], ns[0], nc[0], np.float32(done))
-            agent.learn(fetch_metrics=False,
-                        critic_only=step < args.critic_warmup)
+            if step >= warm:
+                # warm-start phase: only COLLECT with the BC policy, so the
+                # buffer holds successful-driving transitions before the
+                # critic ever fits (VERDICT r4 weak #7: without this the
+                # buffer is mostly post-crash data)
+                agent.learn(fetch_metrics=False,
+                            critic_only=step - warm < args.critic_warmup)
             images, speed, command = ni, ns, nc
             ep_reward += reward
             step += 1
-        curve.append({"episode": episode, "steps": step,
+        phase = ("warmstart" if step <= warm else
+                 "critic_warmup" if step - warm <= args.critic_warmup
+                 else "ddpg")
+        curve.append({"episode": episode, "steps": step, "phase": phase,
                       "reward": round(float(ep_reward), 2),
                       "rc": round(float(info["route_completion"]), 1)})
-        print(f"[ddpg_improve] ep{episode}: reward={ep_reward:.1f} "
-              f"RC={info['route_completion']:.1f}% (step {step}/{args.steps},"
+        print(f"[ddpg_improve] ep{episode} [{phase}]: reward={ep_reward:.1f} "
+              f"RC={info['route_completion']:.1f}% (step {step}/{total},"
               f" {step / (time.perf_counter() - t0):.2f} env-steps/s)",
               flush=True)
         episode += 1
@@ -224,21 +284,48 @@ def main():
     save_actor()
     (work / args.curve_name).write_text(json.dumps(curve, indent=1))
 
+    # actor-delta report: with the reference recipe (pmoe +
+    # exclude_freeze=['model_weights','alpha']) every trainable leaf's
+    # gradient is identically zero (alphas only reach the action through an
+    # argmax/detached sample), so the actor must come back bitwise unchanged
+    # — printing the measured delta makes that analytic claim falsifiable
+    final_actor = jax.tree_util.tree_map(np.asarray, agent.state.actor_params)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - b))) if a.size else 0.0,
+        init_actor_host, final_actor)
+    max_delta = max(jax.tree_util.tree_leaves(deltas) or [0.0])
+    changed = sum(1 for d in jax.tree_util.tree_leaves(deltas) if d > 0)
+    n_leaves = len(jax.tree_util.tree_leaves(deltas))
+    print(f"[ddpg_improve] actor param delta after fine-tune: "
+          f"max|Δ|={max_delta:.3e} over {changed}/{n_leaves} changed leaves")
+
     # ---- AFTER -------------------------------------------------------------
-    conf_after = nb.write_agent_conf(work / "ddpg_after.yaml",
-                                     tuned / f"{args.ckpt_name}.ckpt",
-                                     args.arch)
-    after = spot(conf_after, "Town01", args.routes, args.slots, "AFTER")
+    tuned_ckpt = tuned / f"{args.ckpt_name}.ckpt"
+    if args.pmoe_conf:
+        import yaml as _yaml
+
+        conf_after = work / "ddpg_after.yaml"
+        c = _yaml.safe_load(Path(args.pmoe_conf).read_text())
+        c["model"]["actor"]["model_dir"] = str(tuned_ckpt)
+        conf_after.write_text(_yaml.safe_dump(c))
+    else:
+        conf_after = nb.write_agent_conf(work / "ddpg_after.yaml", tuned_ckpt,
+                                         args.arch)
+    after = spot(conf_after, "Town01", args.routes, args.slots, "AFTER",
+                 ckpt=tuned_ckpt)
 
     lines = [
         "\n## Stage-3 DDPG before/after (closed-loop, held-out suite routes)",
         "",
         f"Protocol: Town01 first {args.routes} suite routes, empty traffic, "
         f"weather 1, deterministic policy, fixed seeds — identical before "
-        f"and after. Fine-tune: {args.steps} env steps (learn every tick, "
-        f"batch {args.batch}, lr {args.lr}, critic warmup "
-        f"{args.critic_warmup} critic-only steps) on non-suite routes; "
-        f"curve in {args.curve_name}.",
+        f"and after. Actor: {actor_cfg['type']} "
+        f"(exclude_freeze={actor_cfg['exclude_freeze']}). Fine-tune: "
+        f"{args.steps} env steps (learn every tick, batch {args.batch}, "
+        f"lr {args.lr}, {warm} BC-warmstart collect-only steps, critic "
+        f"warmup {args.critic_warmup} critic-only steps) on non-suite "
+        f"routes; curve in {args.curve_name}. Actor max|Δ| after fine-tune: "
+        f"{max_delta:.3e} ({changed}/{n_leaves} leaves changed).",
         "",
         "| checkpoint | SR | RC |",
         "|---|---|---|",
