@@ -131,7 +131,12 @@ class RunningRedLightTest(Criterion):
     def update(self, ego: EgoState, frame) -> None:
         if self._backend.ran_red_light():
             self.actual_value += 1
-            self.events.append({"type": "red_light", "frame": frame.frame})
+            ev = {"type": "red_light", "frame": frame.frame}
+            detail = getattr(self._backend, "last_red_light_event",
+                             lambda: None)()
+            if detail:
+                ev.update(detail)
+            self.events.append(ev)
 
 
 class InRouteTest(Criterion):

@@ -460,8 +460,18 @@ class FakeCarlaBackend(DrivingBackend):
             was_before = self._was_before_light.get(li, True)
             self._was_before_light[li] = before
             if was_before and not before and light.is_red(self.t):
+                # diagnostic detail for the lights-ran analysis (VERDICT r4
+                # weak #6): which light, how fast the ego crossed, when
+                self._last_red_event = {
+                    "light": li, "light_xy": (light.x, light.y),
+                    "ego_xy": (float(p[0]), float(p[1])),
+                    "speed": float(self._ego.speed), "t": float(self.t)}
                 return True
         return False
+
+    def last_red_light_event(self) -> Optional[dict]:
+        """Detail record of the most recent red-light infraction."""
+        return getattr(self, "_last_red_event", None)
 
     def ran_red_light(self) -> bool:
         return self._ran_red
