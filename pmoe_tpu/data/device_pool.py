@@ -14,16 +14,16 @@ unique frame ONCE, gather windows by index on device.
 The pool is uploaded in slabs through a donated dynamic_update_slice so peak
 HBM is pool + one slab (not 2x pool).
 
-Sizing constraint (measured on v5e): the training step's gather demands a
-tiled operand layout ({2,1,3,0:T(8,128)(4,1)}), so XLA materializes a
-PADDED COPY of the pool inside the program — 1.14x the pool on top of the
-resident buffer. Budget the pool at <= ~6 GB on a 16 GB chip (~40k frames
-at 224x224); beyond that the stage-2 step compile OOMs (observed: 7.91 GB
-pool -> 17.29 GB total, batch-size-independent). Eliminating the copy needs
-either building the pool directly in the gather's preferred padded layout
-(jax.experimental.layout; trades resident memory for the temp) or a Pallas
-gather that accepts the row-major pool — future work, recorded here so the
-failure mode is not rediscovered.
+Layout constraint (measured on v5e, round 5): gathering a 4-D
+(F, H, W, 3) u8 pool makes XLA materialize a PADDED COPY of the whole pool
+in the tiled layout its gather prefers ({2,1,3,0:T(8,128)(4,1)}, 1.14x) —
+IN ANY program, even a standalone take — which capped the pool at ~6 GB on
+a 16 GB chip. The pool is therefore stored FLATTENED as (F, H*W*3): a row
+gather on a 2-D u8 array keeps the default layout (no copy; verified with
+an 11.98 GiB pool + in-program conv consumer, 42.5 ms/step), and the
+consumer reshapes rows back to (B, T, H, W, 3) — a free bitcast in
+row-major. Ceiling is now the resident bytes themselves (~13 GB next to a
+stage-2 step).
 """
 
 from __future__ import annotations
@@ -48,11 +48,12 @@ class DeviceFramePool:
             p: i for i, p in enumerate(self.paths)}
         n = len(self.paths)
         H, W = int(resize[0]), int(resize[1])
-        pool = jnp.zeros((n, H, W, 3), jnp.uint8)
+        self.frame_shape = (H, W, 3)
+        pool = jnp.zeros((n, H * W * 3), jnp.uint8)
 
         upd = jax.jit(
             lambda pool, chunk, off: jax.lax.dynamic_update_slice(
-                pool, chunk, (off, 0, 0, 0)),
+                pool, chunk, (off, 0)),
             donate_argnums=0)
         import time
 
@@ -67,8 +68,8 @@ class DeviceFramePool:
                     crop_resize(imread(p), crop, (H, W))
                     for p in chunk_paths
                 ])
-            pool = upd(pool, jnp.asarray(chunk.astype(np.uint8)),
-                       jnp.int32(off))
+            chunk = chunk.astype(np.uint8).reshape(len(chunk_paths), -1)
+            pool = upd(pool, jnp.asarray(chunk), jnp.int32(off))
             if verbose and (off // slab) % 16 == 0:
                 done = min(off + slab, n)
                 print(f"[frame-pool] {done}/{n} frames uploaded "

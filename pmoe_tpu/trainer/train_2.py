@@ -261,7 +261,14 @@ class Learner(BaseLearner):
             pool, batch = batch["pool"], batch["data"]
         imgs, meas = batch
         if imgs.ndim == 2:                 # (B, T) frame ids -> HBM gather
-            imgs = jnp.take(pool, imgs, axis=0)
+            # the pool is a FLATTENED (F, H*W*3) u8 array: a 2-D row gather
+            # keeps its default layout (a 4-D pool operand makes XLA copy
+            # the whole pool into a padded tiled layout — device_pool.py)
+            B, T = imgs.shape
+            rows = jnp.take(pool, imgs.reshape(-1), axis=0)
+            H = int(self.cfg.get("dataset", {}).get("resize", (224, 224))[0])
+            W = int(self.cfg.get("dataset", {}).get("resize", (224, 224))[1])
+            imgs = rows.reshape(B, T, H, W, 3)
         speed = meas["speed"].reshape(-1, 1).astype(jnp.float32)
         control = meas["control"].astype(jnp.float32)
         command = meas["command"].astype(jnp.float32)
