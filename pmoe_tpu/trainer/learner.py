@@ -235,7 +235,7 @@ class BaseLearner:
         step_fn = jax.jit(self.train_step, donate_argnums=0)
         for self.epoch in range(self.epoch + 1, self.epochs + 1):
             t0 = time.perf_counter()
-            epoch_loss, n_batches = 0.0, 0
+            losses, n_batches = [], 0
             # background thread assembles + device_puts the next uint8 batch
             # while the current step runs (replaces DataLoader workers +
             # pin_memory; SURVEY §2.9 item 3)
@@ -246,12 +246,17 @@ class BaseLearner:
                     jnp.asarray(self.iteration, jnp.float32))
                 self.iteration += 1
                 n_batches += 1
-                epoch_loss += float(metrics["loss"])
+                # keep the loss as a DEVICE scalar: float() here is a D2H
+                # sync per step — ~2 tunnel RTTs (~70 ms) that serialize an
+                # otherwise-async dispatch chain (measured: 2.7 vs 7+
+                # steps/s on the r5 run). One fetch per epoch instead.
+                losses.append(metrics["loss"])
                 if self.iteration % 50 == 0:
                     self.logger.log_metrics(
                         {k: float(v) for k, v in metrics.items()},
                         step=self.iteration, epoch=self.epoch, prefix="batch")
-            epoch_loss /= max(n_batches, 1)
+            epoch_loss = (float(jnp.mean(jnp.stack(losses)))
+                          if losses else 0.0)
 
             if self.epoch >= self.swa_start:
                 self.state = swa_update(self.state)

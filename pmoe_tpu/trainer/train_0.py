@@ -121,17 +121,18 @@ class Learner(BaseLearner):
 
     def validate(self) -> dict:
         eval_fn = jax.jit(self.eval_step)
-        total, dices, n = 0.0, [], 0
+        losses, dices, n = [], [], 0
         for batch in self.val_loader:
             loss, dice = eval_fn(self.state, self.put(batch))
-            total += float(loss)
-            dices.append(jax.device_get(dice))
+            losses.append(loss)          # async device scalars; fetch once
+            dices.append(dice)
             n += 1
         if n == 0:
             return {"val_loss": float("nan")}
-        mean_dice = sum(dices) / n
+        mean_dice = jax.device_get(jnp.mean(jnp.stack(dices), axis=0))
         labels = class_labels()
-        out = {"val_loss": total / n, "dice_mean": float(mean_dice.mean())}
+        out = {"val_loss": float(jnp.mean(jnp.stack(losses))),
+               "dice_mean": float(mean_dice.mean())}
         out.update({f"dice_{labels[i]}": float(mean_dice[i])
                     for i in range(len(mean_dice))})
         return out

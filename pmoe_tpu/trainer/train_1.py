@@ -148,14 +148,14 @@ class Learner(BaseLearner):
     def validate(self) -> dict:
         if not hasattr(self, "_eval_fn"):
             self._eval_fn = jax.jit(self.eval_step)
-        total, n = 0.0, 0
+        vals = []
         for batch in self.val_loader:
             batch = self.put(batch)
-            total += float(self._eval_fn(self.state, batch))
-            if n == 0:
+            vals.append(self._eval_fn(self.state, batch))  # async; fetch once
+            if len(vals) == 1:
                 self._log_mask_strip(batch)
-            n += 1
-        return {"val_loss": total / n if n else float("nan")}
+        return {"val_loss": float(jnp.mean(jnp.stack(vals)))
+                if vals else float("nan")}
 
     def _log_mask_strip(self, batch) -> None:
         """Decoded future-mask strips: predicted row over ground-truth row

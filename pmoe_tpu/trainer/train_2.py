@@ -326,14 +326,16 @@ class Learner(BaseLearner):
     def validate(self) -> dict:
         if not hasattr(self, "_eval_fn"):
             self._eval_fn = jax.jit(self.eval_step)
-        total, n = 0.0, 0
+        vals = []
         for batch in self.val_loader:
             batch = self.put(batch)
-            total += float(self._eval_fn(self.state, batch, self.next_rng()))
-            if n == 0:
+            # device scalars, ONE fetch at the end (a float() per batch is a
+            # tunnel round-trip that serializes the async dispatch chain)
+            vals.append(self._eval_fn(self.state, batch, self.next_rng()))
+            if len(vals) == 1:
                 self._log_action_overlay(batch)
-            n += 1
-        return {"val_loss": total / n if n else float("nan")}
+        return {"val_loss": float(jnp.mean(jnp.stack(vals)))
+                if vals else float("nan")}
 
     def _log_action_overlay(self, batch) -> None:
         """Predicted (red) vs ground-truth (green) control overlays on the

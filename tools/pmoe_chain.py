@@ -63,7 +63,8 @@ def base_cfg(name: str, ckpt_dir: Path, epochs: int, batch: int, lr: float,
         "adam": {"lr": lr, "betas": [0.9, 0.999], "eps": 1e-8,
                  "weight_decay": 0, "amsgrad": False},
         "SWA": {"swa_lr": 5e-4},
-        "dataset": ds, "val_dataset": dict(ds),
+        "dataset": ds,
+        "val_dataset": dict(ds, stride=max(8, int(ds.get("stride", 1)) * 4)),
     }
 
 
