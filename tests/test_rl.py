@@ -160,6 +160,52 @@ def test_ddpg_fused_pmoe_learn_step(tiny_moe_cfg):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(t))
 
 
+def test_reference_stage3_recipe_trains_nothing(tiny_moe_cfg):
+    """The reference's stage-3 actor recipe is a no-op — proven, not assumed.
+
+    conf/stage_3.yaml:73-75 sets actor.type=pmoe with
+    exclude_freeze=['model_weights','alpha']. Substring freeze
+    (reference utils/nn.py:22-58) then keeps ONLY the expert alpha gates
+    trainable: no parameter is named 'model_weights', and the lat/long
+    mixers ('lat_weights'/'long_weights') match neither string. But alpha
+    reaches the action exclusively through the mixture's component CHOICE —
+    torch's dists.sample() detaches, and this framework's Gumbel-max argmax
+    is likewise zero-gradient — so every trainable leaf receives an exactly
+    zero gradient and the actor cannot change, bitwise, no matter how long
+    DDPG runs. This is the analytic core of the round-5 "run A"
+    falsification of the reference recipe (VERDICT r4 item 1b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmoe_tpu.models.rl_agent import Agent
+
+    params = _tiny_ddpg_params(
+        tiny_moe_cfg,
+        {"type": "pmoe", "exclude_freeze": ["model_weights", "alpha"]})
+    obs = (jnp.zeros((1, 4, 32, 32, 3)), jnp.zeros((1, 1)), jnp.zeros((1, 4)))
+    agent = Agent(params, obs)
+
+    rng = np.random.default_rng(3)
+    for i in range(16):
+        agent.remember(
+            rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+            np.array([0.1], np.float32), np.eye(4)[0].astype(np.float32),
+            rng.uniform(-1, 1, 2).astype(np.float32),
+            np.float32(rng.uniform(-1, 1)),
+            rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+            np.array([0.2], np.float32), np.eye(4)[1].astype(np.float32),
+            np.float32(i == 15))
+    before = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(),
+                                    agent.state.actor_params)
+    for _ in range(3):
+        metrics = agent.learn()
+    assert np.isfinite(metrics["critic_loss"])   # the critic DOES learn
+    after = jax.tree_util.tree_map(np.asarray, agent.state.actor_params)
+    for b, a in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(b, a)
+
+
 def test_ddpg_window_trunk_matches_stacked(tiny_moe_cfg):
     """Consecutive transitions (s' = s shifted one tick) take the window path:
     the 5-frame union is uploaded once and the frozen seg U-Net runs on 5
