@@ -133,16 +133,16 @@ def main():
                     help="frozen MoE for the fusion (the NoCrash benchmark "
                          "lineage checkpoint)")
     ap.add_argument("--arch", default="resnet18")
-    ap.add_argument("--epochs0", type=int, default=5)
+    ap.add_argument("--epochs0", type=int, default=4)
     ap.add_argument("--epochs1", type=int, default=2)
-    ap.add_argument("--epochs-punet", type=int, default=3)
-    ap.add_argument("--epochs-pmoe", type=int, default=2)
+    ap.add_argument("--epochs-punet", type=int, default=2)
+    ap.add_argument("--epochs-pmoe", type=int, default=1)
     ap.add_argument("--batch0", type=int, default=64)
     ap.add_argument("--batch1", type=int, default=16)
     ap.add_argument("--batch-punet", type=int, default=16)
     ap.add_argument("--batch-pmoe", type=int, default=32)
     ap.add_argument("--stride1", type=int, default=4)
-    ap.add_argument("--stride2", type=int, default=2)
+    ap.add_argument("--stride2", type=int, default=3)
     ap.add_argument("--dtype1", default="bfloat16",
                     help="stage-1 compute dtype; the rollout is dominated by "
                          "frozen seg U-Net convs where bf16 halves HBM "
@@ -194,9 +194,12 @@ def main():
     # type 'pmoe'); its strict=False load then leaves that backbone at
     # random init — a reference bug this chain does not reproduce.
     pexp_ckpt = ckpt_dir / "PUNet_Action-best.ckpt"
+    # streaming, not device_pool: the punet stages' per-step compute
+    # (4 frozen U-Net + T' rollout passes) dwarfs the host link, so the
+    # prefetcher hides the upload — and skipping the pool saves its ~10 min
+    # build + 11 GB HBM next to the rollout activations
     ds2 = dataset_cfg(args.data, args.batch_punet, geom, thin_stopped=12,
-                      boost_turns=4, stride=args.stride2,
-                      device_pool=args.resize[0] >= 128)
+                      boost_turns=4, stride=args.stride2)
     cfg2 = base_cfg("PUNet_Action", ckpt_dir, args.epochs_punet,
                     args.batch_punet, 3e-4, ds2)
     cfg2["model"] = punet_expert_model_cfg("punet", punet_ckpt, args.arch,
@@ -207,8 +210,7 @@ def main():
     # ---- stage 2b: PMoE fusion — mixers only (reference stage_2_pmoe) ------
     pmoe_ckpt = ckpt_dir / "PMoE-best.ckpt"
     ds3 = dataset_cfg(args.data, args.batch_pmoe, geom, thin_stopped=12,
-                      boost_turns=4, stride=args.stride2,
-                      device_pool=args.resize[0] >= 128)
+                      boost_turns=4, stride=args.stride2)
     cfg3 = base_cfg("PMoE", ckpt_dir, args.epochs_pmoe, args.batch_pmoe,
                     2e-4, ds3)
     cfg3["model"] = punet_expert_model_cfg("pmoe+pretrained", punet_ckpt,
