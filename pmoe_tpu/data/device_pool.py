@@ -28,13 +28,98 @@ stage-2 step).
 
 from __future__ import annotations
 
+from collections import defaultdict
+from pathlib import Path
 from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DeviceFramePool", "IndexedSegPred"]
+__all__ = ["DeviceFramePool", "IndexedSegPred", "unique_window_paths",
+           "thin_to_frame_budget"]
+
+
+def unique_window_paths(*datasets) -> List[str]:
+    """Every frame path reachable through the datasets' ``.indices``
+    (thinned/boosted windows resolve through indices, so unreachable
+    windows contribute nothing), deduplicated, first-seen order."""
+    paths: List[str] = []
+    for ds in datasets:
+        for i in dict.fromkeys(ds.indices.tolist()):
+            paths.extend(ds.img_address[int(i)])
+    return list(dict.fromkeys(paths))
+
+
+def thin_to_frame_budget(train_set, val_set, budget_frames: int,
+                         seg: int = 64, seed: int = 0) -> int:
+    """Shrink the datasets until their unique-frame set fits ``budget_frames``
+    (the device pool's HBM ceiling — round 5 post-mortem: a 99k-frame pool
+    at 224x224 u8 is 13.9 GiB and the stage-2 step needs ~3 GiB of HLO temp
+    on a 15.75 GiB v5e, so pools past ~80k frames OOM at compile time).
+
+    Frames are dropped as CONTIGUOUS per-episode segments of ``seg`` frames:
+    windows span T consecutive frames, so a contiguous drop frees ~1 frame
+    per lost window (a scattered drop frees ~1 per T lost windows). Segments
+    containing any frame of a PROTECTED window — turn commands (!= 4) or
+    moving-brake onsets, the rare windows that carry the hard supervision —
+    are never candidates. Both datasets' ``.indices`` are rebuilt in place to
+    exclude windows touching dropped frames; returns the number of frames
+    dropped (0 when already within budget)."""
+    import json
+
+    frames = unique_window_paths(train_set, val_set)
+    excess = len(frames) - int(budget_frames)
+    if excess <= 0:
+        return 0
+    protected: set = set()
+    for i in dict.fromkeys(train_set.indices.tolist()):
+        with open(train_set.measurements[int(i)]) as f:
+            m = json.load(f)
+        onset = (float(m.get("brake", 0.0)) > 0.05
+                 and float(m.get("speed", 0.0)) >= 0.5)
+        if int(m.get("command", 4)) != 4 or onset:
+            protected.update(train_set.img_address[int(i)])
+    by_ep: Dict[str, List[str]] = defaultdict(list)
+    for p in frames:
+        by_ep[str(Path(p).parent)].append(p)
+    for fs in by_ep.values():
+        fs.sort()
+    rng = np.random.default_rng(seed)
+    dropped: set = set()
+    # adaptive granularity: start at ``seg`` (best frames-freed-per-window-
+    # lost ratio), halve down to 8 when episodes are too short or too
+    # turn-dense to yield enough full-size unprotected segments
+    size = max(8, int(seg))
+    while len(dropped) < excess and size >= 8:
+        segments = []
+        for fs in by_ep.values():
+            run: List[str] = []
+            for p in fs + [None]:           # None flushes the last run
+                if p is None or p in dropped:
+                    for a in range(0, len(run) - size + 1, size):
+                        chunk = run[a: a + size]
+                        if not any(q in protected for q in chunk):
+                            segments.append(chunk)
+                    run = []
+                else:
+                    run.append(p)
+        rng.shuffle(segments)
+        for chunk in segments:
+            if len(dropped) >= excess:
+                break
+            dropped.update(chunk)
+        size //= 2
+    if len(dropped) < excess:
+        raise ValueError(
+            f"cannot reach pool budget: need to drop {excess} frames but "
+            f"only {len(dropped)} are in unprotected segments — lower "
+            f"seg, raise thin_stopped, or disable device_pool")
+    for ds in (train_set, val_set):
+        keep = [i for i in ds.indices.tolist()
+                if not any(p in dropped for p in ds.img_address[int(i)])]
+        ds.indices = np.asarray(keep, dtype=ds.indices.dtype)
+    return len(dropped)
 
 
 class DeviceFramePool:

@@ -101,15 +101,31 @@ class Learner(BaseLearner):
                     "dataset.device_pool is single-device for now (a mesh "
                     "run would shard the pool's leading dim over 'data'); "
                     "multi-chip hosts have full PCIe and stream fine")
-            from ..data.device_pool import DeviceFramePool, IndexedSegPred
+            from ..data.device_pool import (DeviceFramePool, IndexedSegPred,
+                                            thin_to_frame_budget,
+                                            unique_window_paths)
 
+            # HBM ceiling: pool + ~3 GiB stage-2 HLO temp + reserved must
+            # fit 15.75 GiB (v5e) — measured OOM at a 13.9 GiB pool, round
+            # 5. Over budget, contiguous unprotected frame segments are
+            # dropped (turns/brake onsets pinned) and the drop is LOGGED —
+            # never a silent cap.
+            H, W = tuple(ds.get("resize", (224, 224)))
+            budget = int(float(ds.get("pool_budget_gib", 11.5)) * 2**30
+                         // (H * W * 3))
+            n_before = (len(self.train_set), len(self.val_set))
+            n_drop = thin_to_frame_budget(self.train_set, self.val_set,
+                                          budget,
+                                          seed=int(ds.get("seed", 0)))
+            if n_drop:
+                print(f"[frame-pool] budget {budget} frames: dropped "
+                      f"{n_drop} frames in unprotected segments -> windows "
+                      f"train {n_before[0]}->{len(self.train_set)}, "
+                      f"val {n_before[1]}->{len(self.val_set)}", flush=True)
             # only frames of windows actually reachable through .indices:
             # thinned windows (dataset thin_stopped) must not inflate the
             # pool's HBM footprint with their duplicate stopped frames
-            paths = [p for i in dict.fromkeys(self.train_set.indices.tolist())
-                     for p in self.train_set.img_address[i]]
-            paths += [p for i in dict.fromkeys(self.val_set.indices.tolist())
-                      for p in self.val_set.img_address[i]]
+            paths = unique_window_paths(self.train_set, self.val_set)
             pool = DeviceFramePool(paths, crop=tuple(ds.get("crop",
                                                             (125, 90))),
                                    resize=tuple(ds.get("resize",

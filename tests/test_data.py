@@ -106,3 +106,52 @@ def test_thin_stopped_windows(tmp_path):
     assert n_stopped_thin == 5                      # 1 in 8
     # non-stopped windows are untouched (onset + cruise all kept)
     assert len(thinned) == len(full) - (40 - 5)
+
+
+def test_thin_to_frame_budget(tmp_path):
+    """Pool-budget thinning (round-5 OOM fix): drops contiguous unprotected
+    frame segments until the unique-frame set fits, pins turn/brake-onset
+    windows, and rebuilds train+val indices consistently."""
+    import json
+
+    from pmoe_tpu.data.device_pool import (thin_to_frame_budget,
+                                           unique_window_paths)
+
+    root = tmp_path / "data"
+    rng = np.random.default_rng(3)
+    for ep in range(3):
+        d = root / f"episode_{ep:03d}"
+        (d / "rgb").mkdir(parents=True)
+        (d / "measurements").mkdir()
+        for i in range(200):
+            (d / "rgb" / f"{i:05d}.png").touch()
+            # one short turn burst per episode; everything else cruising
+            cmd = 3 if 90 <= i < 98 else 4
+            (d / "measurements" / f"{i:05d}.json").write_text(json.dumps({
+                "steer": 0.0, "brake": 0.0, "throttle": 0.6,
+                "speed": 5.0, "target_speed": 5.0, "command": cmd}))
+
+    def make(stride):
+        return CarlaSegPred(root=str(root), past_frames=4, future_frames=1,
+                            mode="train", load_measurements=True,
+                            stride=stride, seed=0)
+
+    train, val = make(1), make(8)
+    n_frames = len(unique_window_paths(train, val))
+    assert n_frames > 500
+    turn_windows = {tuple(train.img_address[i]) for i in train.indices
+                    if json.load(open(train.measurements[i]))["command"] != 4}
+
+    budget = n_frames - 128
+    dropped = thin_to_frame_budget(train, val, budget, seg=16, seed=0)
+    assert dropped >= 128
+    assert len(unique_window_paths(train, val)) <= budget
+    # every protected (turn) window survived the rebuild
+    survivors = {tuple(train.img_address[i]) for i in train.indices}
+    assert turn_windows <= survivors
+    # val windows referencing dropped frames are gone too: no kept window
+    # (either split) references a frame outside the surviving pool
+    pool = set(unique_window_paths(train, val))
+    for ds in (train, val):
+        for i in ds.indices:
+            assert all(p in pool for p in ds.img_address[i])
