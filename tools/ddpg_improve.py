@@ -111,6 +111,12 @@ def main():
                          "the BC policy BEFORE any learning, so the critic "
                          "warms on on-policy-quality data instead of "
                          "post-crash states (VERDICT r4 weak #7)")
+    ap.add_argument("--learn-every", type=int, default=1,
+                    help="gradient steps every N env ticks (UTD 1/N). The "
+                         "reference learns every tick (train_3.py loop); at "
+                         "~0.85 s/learn that caps a session at ~2k env "
+                         "steps — N>1 trades update density for the >=10k "
+                         "env-step envelope VERDICT r4 directs")
     ap.add_argument("--critic-warmup", type=int, default=0,
                     help="critic-only learn steps before any actor update "
                          "(fixes the run-1 failure mode: a fresh critic's "
@@ -139,7 +145,12 @@ def main():
     from pmoe_tpu.utils import graft, load_checkpoint, save_checkpoint
 
     # ---- BEFORE ------------------------------------------------------------
-    if args.before_json:
+    if args.routes == 0:
+        # delta-only mode (run A of the reference-recipe experiment: the
+        # analytic claim is the actor comes back bitwise unchanged, so the
+        # spots are redundant — the unit test + max|Δ| report carry it)
+        before = None
+    elif args.before_json:
         before = json.loads(Path(args.before_json).read_text())
         # a recorded BEFORE is only valid against the SAME checkpoint and
         # protocol it was measured with (ADVICE r4: the r4 file was measured
@@ -256,7 +267,7 @@ def main():
             agent.remember(images[0], speed[0], command[0],
                            action.astype(np.float32), np.float32(reward),
                            ni[0], ns[0], nc[0], np.float32(done))
-            if step >= warm:
+            if step >= warm and (step - warm) % args.learn_every == 0:
                 # warm-start phase: only COLLECT with the BC policy, so the
                 # buffer holds successful-driving transitions before the
                 # critic ever fits (VERDICT r4 weak #7: without this the
@@ -301,6 +312,10 @@ def main():
 
     # ---- AFTER -------------------------------------------------------------
     tuned_ckpt = tuned / f"{args.ckpt_name}.ckpt"
+    if before is None:
+        print(f"[ddpg_improve] delta-only run complete ({args.steps} env "
+              f"steps); tuned ckpt at {tuned_ckpt}")
+        return
     if args.pmoe_conf:
         import yaml as _yaml
 
@@ -321,7 +336,8 @@ def main():
         f"weather 1, deterministic policy, fixed seeds — identical before "
         f"and after. Actor: {actor_cfg['type']} "
         f"(exclude_freeze={actor_cfg['exclude_freeze']}). Fine-tune: "
-        f"{args.steps} env steps (learn every tick, batch {args.batch}, "
+        f"{args.steps} env steps (learn every {args.learn_every} tick(s), "
+        f"batch {args.batch}, "
         f"lr {args.lr}, {warm} BC-warmstart collect-only steps, critic "
         f"warmup {args.critic_warmup} critic-only steps) on non-suite "
         f"routes; curve in {args.curve_name}. Actor max|Δ| after fine-tune: "

@@ -207,6 +207,10 @@ def main():
                          "routes of data) — an interrupted run leaves every "
                          "cell populated and marked partial instead of "
                          "whole cells N/A")
+    ap.add_argument("--max-episodes", type=int, default=None,
+                    help="time-budget cap on pending fleet episodes "
+                         "(pairs with --cell-robin: every cell stays "
+                         "populated, marked partial)")
     ap.add_argument("--out", default=None, help="write the tables here")
     args = ap.parse_args()
 
@@ -307,6 +311,15 @@ def run_fleet_protocol(args, conf, results_dir) -> None:
     else:
         tasks.sort(key=lambda t: order.get(t.traffic_idx, t.traffic_idx))
     router = _StatsRouter(managers)
+    cap = getattr(args, "max_episodes", None)
+    if cap and len(tasks) > int(cap):
+        # time-budgeted slice: with --cell-robin ordering the first N tasks
+        # cover every town x weather x traffic cell route-major, so a capped
+        # run leaves all cells populated (marked partial by the
+        # completeness gate) instead of whole cells N/A
+        print(f"[bench] time-budget cap: running first {cap} of "
+              f"{len(tasks)} pending episodes")
+        tasks = tasks[: int(cap)]
     print(f"[bench] fleet protocol: {len(tasks)} episodes pending, "
           f"{args.fleet} slots")
     runner = FleetNoCrashRunner(get_conf(str(conf)), n_slots=args.fleet,

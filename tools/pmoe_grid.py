@@ -44,6 +44,7 @@ def main():
     ap.add_argument("--traffic-order", default="0,1,2")
     ap.add_argument("--cell-robin", action="store_true", default=True)
     ap.add_argument("--arch", default="resnet18")
+    ap.add_argument("--max-episodes", type=int, default=None)
     ap.add_argument("--out", default="RESULTS_PMOE.md")
     args = ap.parse_args()
 
