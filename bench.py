@@ -198,8 +198,13 @@ def bench_stage3(batch: int = BATCH3):
             flops = cost["flops"]
         finally:
             _os.environ.pop("PMOE_PACKED_STEM", None)
-    except Exception:
-        flops = -1.0
+    except Exception as e:
+        # never silent (VERDICT r4 weak #4 investigation): a failed count
+        # folded into the scan correction once published b128 "MFU 0.30" —
+        # rollout-only FLOPs over the full step time
+        print(f"[bench] WARNING: stage-3 b{batch} op_counter failed "
+              f"({type(e).__name__}: {e}); FLOPs/MFU omitted", flush=True)
+        return steps_per_sec, -1.0
     # NB: pass the int batch size — an earlier revision shadowed it with the
     # staged dict, which made _scan_flops_correction silently return 0
     return steps_per_sec, flops + _scan_flops_correction(batch)
@@ -633,6 +638,12 @@ def main():
     s3_steps, s3_flops = bench_stage3()
     s3_mfu = (s3_flops * s3_steps / peak) if s3_flops > 0 else -1.0
     s3b_steps, s3b_flops = bench_stage3(batch=128)  # conf/stage_3.yaml:65
+    if s3b_flops < 0 and s3_flops > 0:
+        # the unpacked recount OOMs at b128 (r4 published the resulting
+        # silent artifact as "MFU 0.30"); scale the b64 honest count —
+        # dense heads are exactly 2x, the dedup'd trunk scales with unique
+        # frames (B+5): (128+5)/(64+5) = 1.93x — use the conservative 1.93
+        s3b_flops = s3_flops * (128 + 5) / (BATCH3 + 5)
     s3b_mfu = (s3b_flops * s3b_steps / peak) if s3b_flops > 0 else -1.0
     s01 = bench_stage01()
 

@@ -157,6 +157,12 @@ def main():
     else:
         ckpt = work / "ckpt_u2" / "moe-best.ckpt"
     ckpt = ckpt or work / "ckpt_u2" / "moe-best.ckpt"
+    if not Path(ckpt).exists():
+        # train failed/skipped: fall back to the surviving session-1 T1
+        # checkpoint so the downstream phases still produce evidence
+        fallback = work / "ckpt_union" / "moe-best.ckpt"
+        print(f"[r5] no {ckpt}; falling back to {fallback}")
+        ckpt = fallback
     conf = nb.write_agent_conf(work / "benchmark_agent_u2.yaml", ckpt,
                                args.arch)
     if want("spot"):
@@ -185,10 +191,15 @@ def main():
     # -- 3b. stage-3 run B: minimal repair (mixers + gates trainable), ------
     #        BC replay warm-start, >=10k env steps (VERDICT r4 item 1b)
     if want("ddpgB") and pmoe_conf.exists():
-        phase(args, "ddpg_runB", 40, run_main,
+        # size the env-step envelope to the time actually left: ~0.19 s per
+        # env step at learn-every 10 (0.06 env + learn/10), floor 3000 so a
+        # squeezed session still produces a meaningful run
+        b_steps = int(min(args.ddpg_steps,
+                          max(3000, (left_min(args) - 14) * 60 / 0.21)))
+        phase(args, "ddpg_runB", b_steps * 0.21 / 60 + 6, run_main,
               REPO / "tools" / "ddpg_improve.py",
               ["--workdir", work, "--ckpt", pmoe_ckpt,
-               "--pmoe-conf", pmoe_conf, "--steps", args.ddpg_steps,
+               "--pmoe-conf", pmoe_conf, "--steps", b_steps,
                "--learn-every", 10, "--bc-warmstart", 1200,
                "--critic-warmup", 1500, "--lr", 1e-4, "--routes", 8,
                "--exclude-freeze", "lat_weights", "long_weights", "alpha",
