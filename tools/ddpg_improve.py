@@ -133,6 +133,17 @@ def main():
     args = ap.parse_args()
 
     work = Path(args.workdir)
+    # live rebalance knob: a queued session computes --steps from its time
+    # budget at LAUNCH; if the budget shifted while earlier phases ran, the
+    # operator drops an integer into this file and the re-exec'd run honors
+    # it (the running queue process cannot be re-argued with)
+    cap_file = work / "ddpg_steps_cap"
+    if cap_file.exists():
+        cap = int(cap_file.read_text().strip())
+        if cap < args.steps:
+            print(f"[ddpg_improve] steps capped {args.steps} -> {cap} "
+                  f"by {cap_file}")
+            args.steps = cap
     ckpt = Path(args.ckpt) if args.ckpt else work / "ckpt" / "moe-best.ckpt"
     assert ckpt.exists(), f"no BC checkpoint at {ckpt}"
 

@@ -137,10 +137,17 @@ def train(data_dir: Path, ckpt_dir: Path, arch: str, epochs: int,
                                  # keep 1 in 12 (brake ONSETS never thinned)
                                  # — fixes both pedal-loss imbalance and the
                                  # device pool's ~6 GB HBM ceiling
-          "device_pool": True}   # dataset-in-HBM: frames upload once,
+          "device_pool": True,   # dataset-in-HBM: frames upload once,
                                  # batches carry int32 ids (the streaming
                                  # path re-uploads ~38 MB/step — measured
                                  # 1.1 s/step through the tunneled link)
+          "pool_budget_gib": 9.0}
+                                 # THIS step's measured HLO temp is 6.08 G
+                                 # at b64 (r5 session-2 compile OOM:
+                                 # 11.76 G pool args + 6.08 G temp + 0.26 G
+                                 # reserved > 15.75 G) — the generic 11.5
+                                 # default assumes the ~3 G temp of lighter
+                                 # steps
     cfg = {
         "train_params": {"epochs": epochs, "optimizer": "adam",
                          "save_every": max(epochs, 1), "swa_start": 10**9,
