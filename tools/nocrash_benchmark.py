@@ -118,7 +118,7 @@ def collect(data_dir: Path, episodes: int, ticks: int,
 
 
 def train(data_dir: Path, ckpt_dir: Path, arch: str, epochs: int,
-          batch: int) -> Path:
+          batch: int, load: str = "") -> Path:
     ckpt = ckpt_dir / "moe-best.ckpt"
     if ckpt.exists():
         print(f"[bench] reusing checkpoint {ckpt}")
@@ -141,7 +141,7 @@ def train(data_dir: Path, ckpt_dir: Path, arch: str, epochs: int,
                                  # batches carry int32 ids (the streaming
                                  # path re-uploads ~38 MB/step — measured
                                  # 1.1 s/step through the tunneled link)
-          "pool_budget_gib": 9.0}
+          "pool_budget_gib": 8.6}
                                  # THIS step's measured HLO temp is 6.08 G
                                  # at b64 (r5 session-2 compile OOM:
                                  # 11.76 G pool args + 6.08 G temp + 0.26 G
@@ -154,7 +154,11 @@ def train(data_dir: Path, ckpt_dir: Path, arch: str, epochs: int,
                          "grad_clipping": 1.0, "start_saving_best": 0},
         "logger": {"disabled": True},
         "dataloader": {"batch_size": batch, "shuffle": True},
-        "directory": {"model_name": "moe", "save": str(ckpt_dir), "load": ""},
+        "directory": {"model_name": "moe", "save": str(ckpt_dir),
+                      # warm start: restore_from grafts model+batch_stats+
+                      # opt state and resumes the epoch counter, so epochs
+                      # must exceed the loaded ckpt's epoch to train
+                      "load": str(load)},
         "adam": {"lr": 3e-4, "betas": [0.9, 0.999], "eps": 1e-8,
                  "weight_decay": 0, "amsgrad": False},
         "SWA": {"swa_lr": 5e-4},

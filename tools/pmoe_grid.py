@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--cell-robin", action="store_true", default=True)
     ap.add_argument("--arch", default="resnet18")
     ap.add_argument("--max-episodes", type=int, default=None)
+    ap.add_argument("--label", default=None,
+                    help="table caption (default: the pmoe wording); lets "
+                         "this standalone fleet-protocol runner serve any "
+                         "agent conf, e.g. the moe benchmark checkpoint")
     ap.add_argument("--out", default="RESULTS_PMOE.md")
     args = ap.parse_args()
 
@@ -53,7 +57,8 @@ def main():
     results_dir = Path(args.workdir) / "results"
     results_dir.mkdir(parents=True, exist_ok=True)
     nb.run_fleet_protocol(args, conf, results_dir)
-    nb.render(results_dir, f"pmoe ({args.arch} MoE + PU-Net expert)",
+    nb.render(results_dir,
+              args.label or f"pmoe ({args.arch} MoE + PU-Net expert)",
               args.out, routes=args.routes, echo=True)
 
 

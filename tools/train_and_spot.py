@@ -70,12 +70,17 @@ def main():
     ap.add_argument("--spot-routes", type=int, default=6)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--load", default="",
+                    help="warm-start checkpoint (fine-tune: Learner "
+                         "restore_from resumes weights, batch_stats, opt "
+                         "state AND the epoch counter — set --epochs above "
+                         "the loaded epoch or no training happens)")
     args = ap.parse_args()
 
     work = Path(args.workdir)
     if not args.skip_train:
         ckpt = nb.train(work / args.data, work / args.ckpt, args.arch,
-                        args.epochs, args.batch)
+                        args.epochs, args.batch, load=args.load)
     else:
         ckpt = work / args.ckpt / "moe-best.ckpt"
     conf = nb.write_agent_conf(work / "benchmark_agent.yaml", ckpt, args.arch)
