@@ -30,6 +30,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="logs/nocrash_r5")
     ap.add_argument("--chain-dir", default="logs/pmoe_r5")
+    ap.add_argument("--chain-data", default=None,
+                    help="dataset for the chain stages (default "
+                         "<workdir>/data; a curriculum-balanced episode "
+                         "subset keeps the link-bound streaming stages "
+                         "inside a tight TPU budget — tonight's link ran "
+                         "15 MB/s and full-data stage-0 alone cost 20 min)")
     ap.add_argument("--arch", default="resnet18")
     ap.add_argument("--deadline-min", type=float, default=80.0)
     ap.add_argument("--ddpg-steps", type=int, default=5000)
@@ -68,7 +74,8 @@ def main():
     pmoe_ckpt = chain_dir / "ckpt" / "PMoE-best.ckpt"
     phase("pmoe_chain", 30,
           ["tools/pmoe_chain.py", "--workdir", chain_dir, "--data",
-           work / "data", "--moe-ckpt", ckpt, "--epochs0", 1,
+           args.chain_data or work / "data", "--moe-ckpt", ckpt,
+           "--epochs0", 1,
            "--epochs1", 1, "--epochs-punet", 1, "--epochs-pmoe", 1,
            "--stride1", 5, "--stride2", 5, "--spot-routes", 4,
            "--slots", 4])
